@@ -1,0 +1,117 @@
+"""String-array codecs: dictionary / FSST / plain, auto-selected.
+
+Handles the ``doc_id`` and ``source`` columns of the token table.  A string
+array is stored as lengths (integer blob, auto-selected codec — RLE shines
+for fixed-width ids) + a byte buffer (FSST when the sampled ratio says it
+wins, plain otherwise).  Low-cardinality arrays (``source`` has a handful of
+distinct values) go through a string dictionary first.
+
+Blob layouts (little-endian)::
+
+    PLAINBYTES(7): [u8=7][u64 len][bytes]
+    STRARR(6)    : [u8=6][u64 n][nested int blob: utf8 lengths]
+                   [nested bytes blob: concatenated utf8]
+    STRDICT(8)   : [u8=8][u64 n][nested int blob: codes][nested STRARR: uniques]
+
+"nested" = u64 byte-length prefix + blob.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .core import decode_int, encode_int_best
+from .fsst import CODEC_FSST, decode_fsst, encode_fsst, estimate_ratio
+
+CODEC_STRARR = 6
+CODEC_PLAINBYTES = 7
+CODEC_STRDICT = 8
+
+_FSST_GATE = 0.95  # use FSST only if the sampled ratio beats plain by ≥5%
+
+
+def encode_bytes_best(data: bytes) -> bytes:
+    """Byte buffer: FSST if the sampled ratio clears the gate, else plain."""
+    if len(data) >= 64 and estimate_ratio(data) < _FSST_GATE:
+        blob = encode_fsst(data)
+        if len(blob) < 9 + len(data):
+            return blob
+    return struct.pack("<BQ", CODEC_PLAINBYTES, len(data)) + data
+
+
+def decode_bytes(blob: bytes | memoryview, off: int = 0) -> tuple[bytes, int]:
+    buf = memoryview(blob)
+    codec_id = buf[off]
+    if codec_id == CODEC_PLAINBYTES:
+        (n,) = struct.unpack_from("<Q", buf, off + 1)
+        start = off + 9
+        return bytes(buf[start : start + n]), start + n
+    if codec_id == CODEC_FSST:
+        return decode_fsst(buf, off)
+    raise ValueError(f"unknown bytes codec id {codec_id}")
+
+
+def _nested(blob: bytes) -> bytes:
+    return struct.pack("<Q", len(blob)) + blob
+
+
+def _encode_strarr(strs: list[bytes]) -> bytes:
+    lengths = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    data = b"".join(strs)
+    return (
+        struct.pack("<BQ", CODEC_STRARR, len(strs))
+        + _nested(encode_int_best(lengths))
+        + _nested(encode_bytes_best(data))
+    )
+
+
+def _decode_strarr(buf: memoryview, off: int) -> tuple[list[bytes], int]:
+    (n,) = struct.unpack_from("<Q", buf, off + 1)
+    p = off + 9
+    (ln,) = struct.unpack_from("<Q", buf, p)
+    lengths = decode_int(bytes(buf[p + 8 : p + 8 + ln]))
+    p += 8 + ln
+    (ln2,) = struct.unpack_from("<Q", buf, p)
+    data, _ = decode_bytes(buf, p + 8)
+    p += 8 + ln2
+    out = []
+    pos = 0
+    for length in lengths:
+        out.append(data[pos : pos + length])
+        pos += length
+    return out, p
+
+
+def encode_strings(values) -> bytes:
+    """Encode a sequence of strings; dictionary route when cardinality is low."""
+    strs = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    n = len(strs)
+    uniq = sorted(set(strs))
+    if n > 0 and len(uniq) <= n // 2:
+        code_of = {s: i for i, s in enumerate(uniq)}
+        codes = np.fromiter((code_of[s] for s in strs), dtype=np.int64, count=n)
+        return (
+            struct.pack("<BQ", CODEC_STRDICT, n)
+            + _nested(encode_int_best(codes))
+            + _nested(_encode_strarr(uniq))
+        )
+    return _encode_strarr(strs)
+
+
+def decode_strings(blob: bytes) -> list[str]:
+    buf = memoryview(blob)
+    codec_id = buf[0]
+    if codec_id == CODEC_STRARR:
+        strs, _ = _decode_strarr(buf, 0)
+        return [s.decode("utf-8") for s in strs]
+    if codec_id == CODEC_STRDICT:
+        (n,) = struct.unpack_from("<Q", buf, 1)
+        p = 9
+        (ln,) = struct.unpack_from("<Q", buf, p)
+        codes = decode_int(bytes(buf[p + 8 : p + 8 + ln]))
+        p += 8 + ln
+        uniq, _ = _decode_strarr(buf, p + 8)
+        return [uniq[c].decode("utf-8") for c in codes]
+    raise ValueError(f"unknown string codec id {codec_id}")

@@ -1,0 +1,209 @@
+"""Round-trip + selection tests for the codec kernels.
+
+Mirrors the reference's unit-test philosophy (reference
+``tests/test_transform.py``, ``tests/test_validate.py``: each rule gets
+pass+fail adversarial cases) applied to our codecs: the north-rule invariant
+is bit-identical decode on every input, including degenerate ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_sql_duckdb_parquet__spark.codecs import (
+    analyze_int,
+    decode_int,
+    decode_strings,
+    encode_int,
+    encode_int_best,
+    encode_strings,
+    select_int_codec,
+)
+from etl_sql_duckdb_parquet__spark.codecs.core import codec_of, pack_uint, unpack_uint
+from etl_sql_duckdb_parquet__spark.codecs.fsst import (
+    build_table,
+    compress,
+    decode_fsst,
+    decompress,
+    encode_fsst,
+)
+
+I32 = np.int32
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+
+RNG = np.random.default_rng(42)
+
+ADVERSARIAL = {
+    "empty": np.array([], dtype=I32),
+    "single": np.array([7], dtype=I32),
+    "single_min": np.array([INT32_MIN], dtype=I32),
+    "constant": np.full(1000, 42, dtype=I32),
+    "constant_zero": np.zeros(999, dtype=I32),
+    "two_values": np.array([INT32_MIN, INT32_MAX], dtype=I32),
+    "full_range": RNG.integers(INT32_MIN, INT32_MAX, 5000, endpoint=True).astype(I32),
+    "negatives": -RNG.integers(0, 1000, 2000).astype(I32),
+    "sorted": np.sort(RNG.integers(0, 10**9, 3000)).astype(I32),
+    "sorted_desc": np.sort(RNG.integers(0, 10**9, 3000))[::-1].astype(I32),
+    "runs": np.repeat(RNG.integers(0, 50, 100), RNG.integers(1, 200, 100)).astype(I32),
+    "low_card": RNG.integers(0, 7, 10000).astype(I32),
+    "high_card": RNG.integers(0, 2**30, 10000).astype(I32),
+    "zipf_tokens": np.minimum(RNG.zipf(1.3, 20000), 50257).astype(I32) - 1,
+    "alternating": np.tile([0, 1], 5000).astype(I32),
+    "boundary_runs": np.repeat([INT32_MIN, 0, INT32_MAX], 100).astype(I32),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ADVERSARIAL))
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "rle", "dict"])
+def test_roundtrip_every_codec(name, codec):
+    vals = ADVERSARIAL[name]
+    decoded = decode_int(encode_int(vals, codec))
+    np.testing.assert_array_equal(decoded.astype(np.int64), vals.astype(np.int64))
+
+
+@pytest.mark.parametrize("name", sorted(ADVERSARIAL))
+def test_roundtrip_auto(name):
+    vals = ADVERSARIAL[name]
+    blob = encode_int_best(vals)
+    decoded = decode_int(blob)
+    np.testing.assert_array_equal(decoded.astype(np.int64), vals.astype(np.int64))
+
+
+def test_auto_never_bigger_than_plain():
+    for name, vals in ADVERSARIAL.items():
+        best = len(encode_int_best(vals))
+        plain = len(encode_int(vals, "plain"))
+        assert best <= plain, f"{name}: auto {best} > plain {plain}"
+
+
+def test_selector_picks_sensible_codecs():
+    assert select_int_codec(ADVERSARIAL["constant"]) in ("for", "rle")
+    # long runs → rle
+    assert select_int_codec(ADVERSARIAL["runs"]) == "rle"
+    # sorted ascending → delta wins (tiny diffs)
+    assert select_int_codec(ADVERSARIAL["sorted"]) == "delta"
+    # low cardinality, wide range → dict or small-width for
+    low_wide = (RNG.integers(0, 5, 5000) * 10**8).astype(I32)
+    assert select_int_codec(low_wide) == "dict"
+
+
+def test_analyze_sizes_are_exact():
+    """Selection is only sound if predicted sizes equal actual sizes."""
+    for name, vals in ADVERSARIAL.items():
+        stats = analyze_int(vals)
+        for codec, predicted in stats["sizes"].items():
+            actual = len(encode_int(vals, codec))
+            # nested blobs are auto-selected, so predictions for delta/rle/
+            # dict are upper bounds (nested FOR assumed); plain & for exact
+            if codec in ("plain", "for"):
+                assert actual == predicted, (name, codec, actual, predicted)
+            else:
+                assert actual <= predicted, (name, codec, actual, predicted)
+
+
+def test_compression_wins_on_token_like_data():
+    toks = ADVERSARIAL["zipf_tokens"]
+    ratio = len(encode_int_best(toks)) / (4 * len(toks))
+    assert ratio < 0.7, f"expected <0.7 raw ratio on zipf tokens, got {ratio:.3f}"
+
+
+def test_blob_is_self_describing():
+    vals = ADVERSARIAL["runs"]
+    blob = encode_int_best(vals)
+    assert codec_of(blob) == "rle"
+
+
+@given(
+    st.lists(st.integers(min_value=INT32_MIN, max_value=INT32_MAX), max_size=300),
+    st.sampled_from(["plain", "for", "delta", "rle", "dict"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_property(xs, codec):
+    vals = np.array(xs, dtype=I32)
+    decoded = decode_int(encode_int(vals, codec))
+    np.testing.assert_array_equal(decoded.astype(np.int64), vals.astype(np.int64))
+
+
+@given(st.integers(0, 64), st.lists(st.integers(0, 2**63 - 1), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_pack_unpack_property(width, xs):
+    lim = (1 << width) if width < 64 else 2**64
+    vals = np.array([x % lim for x in xs], dtype=np.uint64)
+    out = unpack_uint(pack_uint(vals, width), len(vals), width)
+    np.testing.assert_array_equal(out, vals)
+
+
+# ---------------------------------------------------------------------------
+# FSST
+# ---------------------------------------------------------------------------
+
+FSST_CASES = {
+    "empty": b"",
+    "one_byte": b"x",
+    "repetitive": b"doc_000123" * 500,
+    "ids": b"".join(f"doc_{i:08d}".encode() for i in range(2000)),
+    "urls": b"".join(
+        f"https://example.com/page/{i}?ref=abc".encode() for i in range(500)
+    ),
+    "random": bytes(RNG.integers(0, 256, 4096, dtype=np.uint8)),
+    "all_escapes": bytes(range(256)) * 4,
+    "long_runs": b"a" * 10000,
+    "utf8": ("żółć🎉日本語 " * 300).encode("utf-8"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FSST_CASES))
+def test_fsst_roundtrip(name):
+    data = FSST_CASES[name]
+    decoded, _ = decode_fsst(encode_fsst(data))
+    assert decoded == data
+
+
+def test_fsst_compresses_ids():
+    data = FSST_CASES["ids"]
+    blob = encode_fsst(data)
+    assert len(blob) < 0.6 * len(data), f"FSST ratio {len(blob)/len(data):.2f}"
+
+
+def test_fsst_table_respects_limits():
+    table = build_table(FSST_CASES["urls"])
+    assert len(table) <= 255
+    assert all(1 <= len(s) <= 8 for s in table)
+    payload = compress(FSST_CASES["urls"], table)
+    assert decompress(payload, table, len(FSST_CASES["urls"])) == FSST_CASES["urls"]
+
+
+# ---------------------------------------------------------------------------
+# string arrays
+# ---------------------------------------------------------------------------
+
+STRING_CASES = {
+    "empty": [],
+    "one": ["doc_1"],
+    "ids": [f"doc_{i:08d}" for i in range(3000)],
+    "low_card": ["web", "books", "code", "wiki"] * 800,
+    "mixed_len": ["", "a", "ab" * 50, "x" * 999],
+    "unicode": ["żółć", "日本語", "🎉emoji", "plain"] * 100,
+}
+
+
+@pytest.mark.parametrize("name", sorted(STRING_CASES))
+def test_strings_roundtrip(name):
+    vals = STRING_CASES[name]
+    assert decode_strings(encode_strings(vals)) == vals
+
+
+def test_strdict_picked_for_low_cardinality():
+    blob = encode_strings(STRING_CASES["low_card"])
+    assert blob[0] == 8  # CODEC_STRDICT
+    raw = sum(len(s.encode()) for s in STRING_CASES["low_card"])
+    assert len(blob) < 0.2 * raw
+
+
+@given(st.lists(st.text(max_size=40), max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_strings_roundtrip_property(vals):
+    assert decode_strings(encode_strings(vals)) == vals
