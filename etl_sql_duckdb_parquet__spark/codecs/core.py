@@ -45,6 +45,9 @@ CODEC_DELTA = 2
 CODEC_RLE = 3
 CODEC_DICT = 4
 # 5..8 are byte/string codecs — see fsst.py / strings.py.
+CODEC_VARINT = 9  # zigzag + LEB128 (skewed magnitude distributions)
+CODEC_VARDICT = 10  # frequency-ordered dictionary + LEB128 rank codes
+CODEC_FORBLOCK = 11  # FOR with per-miniblock bit widths (locally clustered)
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -56,6 +59,9 @@ CODEC_NAMES = {
     6: "strarr",
     7: "plainbytes",
     8: "strdict",
+    CODEC_VARINT: "varint",
+    CODEC_VARDICT: "vardict",
+    CODEC_FORBLOCK: "forblock",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -73,18 +79,33 @@ _MAX_NEST_DEPTH = 3
 # ---------------------------------------------------------------------------
 
 
+_BYTE_WIDTH_DTYPE = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}
+
+
 def pack_uint(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative uint64 values into ``width`` bits each (MSB first)."""
+    """Pack non-negative uint64 values into ``width`` bits each (MSB first).
+
+    Fast paths: byte-multiple widths are raw big-endian truncation; the
+    general path round-trips through ``np.unpackbits``/``np.packbits`` on
+    only the ceil(width/8) significant bytes — all C loops, no per-value
+    Python.  Chunked to bound transient memory.
+    """
     n = len(vals)
     if width == 0 or n == 0:
         return b""
     vals = vals.astype(np.uint64, copy=False)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    if width in _BYTE_WIDTH_DTYPE:
+        return vals.astype(_BYTE_WIDTH_DTYPE[width]).tobytes()
+    nb = (width + 7) // 8
+    pad = nb * 8 - width
     parts = []
     for i in range(0, n, _CHUNK):
         chunk = vals[i : i + _CHUNK]
-        bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-        parts.append(np.packbits(bits.ravel()).tobytes())
+        m = len(chunk)
+        # big-endian bytes, keep only the nb significant ones
+        be = chunk.astype(">u8").view(np.uint8).reshape(m, 8)[:, 8 - nb :]
+        bits = np.unpackbits(be, axis=1)  # m × nb*8, MSB first
+        parts.append(np.packbits(bits[:, pad:].ravel()).tobytes())
     return b"".join(parts)
 
 
@@ -92,9 +113,12 @@ def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_uint`; returns uint64 array of length ``n``."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    if width in _BYTE_WIDTH_DTYPE:
+        return np.frombuffer(buf, dtype=_BYTE_WIDTH_DTYPE[width]).astype(np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     out = np.empty(n, dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64)
+    nb = (width + 7) // 8
+    pad = nb * 8 - width
     for i in range(0, n, _CHUNK):
         m = min(_CHUNK, n - i)
         bit_start = i * width  # multiple of 8: _CHUNK % 8 == 0
@@ -102,10 +126,83 @@ def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
         nbytes = (nbits + 7) // 8
         chunk = raw[bit_start // 8 : bit_start // 8 + nbytes]
         bits = np.unpackbits(chunk, count=nbits).reshape(m, width)
-        out[i : i + m] = (bits.astype(np.uint64) * weights).sum(
-            axis=1, dtype=np.uint64
-        )
+        full = np.zeros((m, nb * 8), dtype=np.uint8)
+        full[:, pad:] = bits
+        be = np.packbits(full, axis=1)  # m × nb, big-endian
+        w8 = np.zeros((m, 8), dtype=np.uint8)
+        w8[:, 8 - nb :] = be
+        out[i : i + m] = w8.reshape(-1).view(">u8").astype(np.uint64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LEB128 varints (vectorized) — the entropy-ish path for skewed data
+# ---------------------------------------------------------------------------
+
+_VARINT_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
+
+
+def _varint_nbytes(u: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(u), dtype=np.int64)
+    if len(u) == 0:
+        return nb
+    top = int(u.max())
+    for th in _VARINT_THRESHOLDS:
+        if th > top:
+            break
+        nb += u >= np.uint64(th)
+    return nb
+
+
+def varint_encode(u: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of uint64 values (LSB-first 7-bit groups)."""
+    n = len(u)
+    if n == 0:
+        return b""
+    u = u.astype(np.uint64, copy=True)
+    nb = _varint_nbytes(u)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for b in range(int(nb.max())):
+        mask = nb > b
+        idx = pos[mask] + b
+        byte = (u[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > b + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        u >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`varint_encode`."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(b < 128)[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    for k in range(int(lens.max())):
+        mask = lens > k
+        out[mask] |= (
+            b[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)
+        ) << np.uint64(7 * k)
+    return out
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -(u & np.uint64(1)).view(
+        np.int64
+    )
 
 
 def _width(lo: int, hi: int) -> int:
@@ -126,11 +223,131 @@ def _plain_itemsize(vmin: int, vmax: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_FORBLOCK_BS = 1024
+_POW2 = np.concatenate([[1], np.uint64(1) << np.arange(1, 64, dtype=np.uint64)])
+
+
+def _bit_widths(u: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for non-negative uint64 values."""
+    return np.searchsorted(_POW2, u, side="right").astype(np.uint8)
+
+
+def _prepare(v64: np.ndarray) -> dict:
+    """One pass of shared statistics feeding both sizing and encoding.
+
+    Uses a single ``np.sort`` (not ``np.unique(return_inverse=True)``, whose
+    argsort is ~2× slower); the code assignment needed by dict/vardict is
+    recovered lazily with ``np.searchsorted`` only when one of them wins.
+    """
+    n = len(v64)
+    vmin = int(v64.min())
+    vmax = int(v64.max())
+    d = np.diff(v64)
+    change = np.flatnonzero(d)
+    vs = np.sort(v64)
+    starts = np.r_[0, np.flatnonzero(np.diff(vs)) + 1]
+    uniq = vs[starts]
+    counts = np.diff(np.r_[starts, n])
+    order = np.lexsort((uniq, -counts))  # rank 0 = most frequent
+    ranks = np.empty(len(uniq), dtype=np.int64)
+    ranks[order] = np.arange(len(uniq))
+    return {
+        "v": v64,
+        "n": n,
+        "vmin": vmin,
+        "vmax": vmax,
+        "d": d,
+        "change": change,
+        "n_runs": len(change) + 1,
+        "uniq": uniq,
+        "counts": counts,
+        "order": order,
+        "ranks": ranks,
+    }
+
+
+def _inverse(prep: dict) -> np.ndarray:
+    """Codes of each value into prep['uniq'] (lazy, O(n log card))."""
+    return np.searchsorted(prep["uniq"], prep["v"])
+
+
+def _block_widths(u: np.ndarray, bs: int) -> np.ndarray:
+    """Per-miniblock bit widths of a non-negative uint64 buffer."""
+    n = len(u)
+    m = n // bs
+    maxes = []
+    if m:
+        maxes.append(u[: m * bs].reshape(m, bs).max(axis=1))
+    if n % bs:
+        maxes.append(np.array([u[m * bs :].max()], dtype=np.uint64))
+    return _bit_widths(np.concatenate(maxes)) if maxes else np.zeros(0, np.uint8)
+
+
+def _sizes(prep: dict) -> dict[str, int]:
+    n = prep["n"]
+    vmin, vmax = prep["vmin"], prep["vmax"]
+    sizes: dict[str, int] = {}
+    sizes["plain"] = 10 + _plain_itemsize(vmin, vmax) * n
+    w_for = _width(vmin, vmax)
+    sizes["for"] = 18 + _packed_bytes(n, w_for)
+
+    if n >= 2:
+        d = prep["d"]
+        w_d = _width(int(d.min()), int(d.max()))
+        # DELTA = header(17) + nested-len(8) + FOR blob of n-1 diffs
+        sizes["delta"] = 17 + 8 + 18 + _packed_bytes(n - 1, w_d)
+
+    n_runs = prep["n_runs"]
+    if n_runs < n:
+        run_lens = np.diff(np.r_[0, prep["change"] + 1, n])
+        w_rl = _width(int(run_lens.min()), int(run_lens.max()))
+        sizes["rle"] = (
+            9
+            + 8
+            + 18
+            + _packed_bytes(n_runs, w_for)  # run values share the range
+            + 8
+            + 18
+            + _packed_bytes(n_runs, w_rl)
+        )
+
+    card = len(prep["uniq"])
+    dict_blob_bound = 18 + _packed_bytes(card, w_for)
+    if card < n:
+        w_codes = max(card - 1, 0).bit_length()
+        sizes["dict"] = 14 + 8 + dict_blob_bound + _packed_bytes(n, w_codes)
+
+    # varint over zigzag values: exact byte count, vectorized
+    zz_nb = _varint_nbytes(_zigzag(prep["uniq"]))
+    sizes["varint"] = 17 + int((zz_nb * prep["counts"]).sum())
+
+    # vardict: frequency-rank codes as varints + dictionary in rank order
+    rank_nb = _varint_nbytes(prep["ranks"].astype(np.uint64))
+    sizes["vardict"] = (
+        13 + 8 + dict_blob_bound + 8 + int((rank_nb * prep["counts"]).sum())
+    )
+
+    # forblock: per-miniblock widths
+    u = (prep["v"] - vmin).astype(np.uint64)
+    bw = _block_widths(u, _FORBLOCK_BS)
+    nblocks = len(bw)
+    payload = 0
+    for i, w in enumerate(bw):
+        blk = (
+            _FORBLOCK_BS
+            if i < nblocks - 1 or n % _FORBLOCK_BS == 0
+            else n % _FORBLOCK_BS
+        )
+        payload += _packed_bytes(blk, int(w))
+    sizes["forblock"] = 19 + nblocks + payload
+    return sizes
+
+
 def analyze_int(vals: np.ndarray) -> dict:
     """Exact per-buffer statistics driving codec selection.
 
-    Returns n, vmin, vmax, n_runs, n_distinct, and the exact encoded size
-    each candidate codec would produce — selection is a pure argmin, fully
+    Returns n, vmin, vmax, n_runs, n_distinct, and the exact-or-upper-bound
+    encoded size per candidate codec — selection is a pure argmin, fully
     deterministic and unit-testable.
     """
     v = np.asarray(vals)
@@ -145,59 +362,35 @@ def analyze_int(vals: np.ndarray) -> dict:
             "mean_run_len": 0.0,
             "sizes": {"plain": 10},
         }
-    v64 = v.astype(np.int64, copy=False)
-    vmin = int(v64.min())
-    vmax = int(v64.max())
-    change = np.flatnonzero(np.diff(v64))
-    n_runs = len(change) + 1
-    card = len(np.unique(v64))
-
-    sizes: dict[str, int] = {}
-    sizes["plain"] = 10 + _plain_itemsize(vmin, vmax) * n
-    w_for = _width(vmin, vmax)
-    sizes["for"] = 18 + _packed_bytes(n, w_for)
-
-    if n >= 2:
-        d = np.diff(v64)
-        w_d = _width(int(d.min()), int(d.max()))
-        # DELTA = header(17) + nested-len(8) + FOR blob of n-1 diffs
-        sizes["delta"] = 17 + 8 + 18 + _packed_bytes(n - 1, w_d)
-
-    if n_runs < n:
-        run_lens = np.diff(np.r_[0, change + 1, n])
-        w_rl = _width(int(run_lens.min()), int(run_lens.max()))
-        sizes["rle"] = (
-            9
-            + 8
-            + 18
-            + _packed_bytes(n_runs, w_for)  # run values share the range
-            + 8
-            + 18
-            + _packed_bytes(n_runs, w_rl)
-        )
-
-    if card < n:
-        w_codes = max(card - 1, 0).bit_length()
-        # dictionary itself conservatively sized as a FOR blob
-        dict_blob = 18 + _packed_bytes(card, w_for)
-        sizes["dict"] = 14 + 8 + dict_blob + _packed_bytes(n, w_codes)
-
+    v64 = np.ascontiguousarray(v, dtype=np.int64)
+    prep = _prepare(v64)
     return {
         "n": n,
-        "vmin": vmin,
-        "vmax": vmax,
-        "n_runs": n_runs,
-        "n_distinct": card,
-        "mean_run_len": n / n_runs,
-        "sizes": sizes,
+        "vmin": prep["vmin"],
+        "vmax": prep["vmax"],
+        "n_runs": prep["n_runs"],
+        "n_distinct": len(prep["uniq"]),
+        "mean_run_len": n / prep["n_runs"],
+        "sizes": _sizes(prep),
     }
+
+
+_TIE_ORDER = {
+    "for": 0,
+    "rle": 1,
+    "dict": 2,
+    "forblock": 3,
+    "delta": 4,
+    "vardict": 5,
+    "varint": 6,
+    "plain": 7,
+}
 
 
 def select_int_codec(vals: np.ndarray) -> str:
     """Pick the codec with the smallest exact encoded size (deterministic)."""
     sizes = analyze_int(vals)["sizes"]
-    order = {"for": 0, "rle": 1, "dict": 2, "delta": 3, "plain": 4}
-    return min(sizes, key=lambda k: (sizes[k], order[k]))
+    return min(sizes, key=lambda k: (sizes[k], _TIE_ORDER[k]))
 
 
 # ---------------------------------------------------------------------------
@@ -205,9 +398,11 @@ def select_int_codec(vals: np.ndarray) -> str:
 # ---------------------------------------------------------------------------
 
 
-def encode_int(vals: np.ndarray, codec: str, _depth: int = 0) -> bytes:
+def encode_int(
+    vals: np.ndarray, codec: str, _depth: int = 0, _prep: dict | None = None
+) -> bytes:
     """Encode an integer array (int64-safe) with a specific codec."""
-    v = np.asarray(vals).astype(np.int64, copy=False)
+    v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     if codec == "plain":
         itemsize = 4 if n == 0 else _plain_itemsize(int(v.min()), int(v.max()))
@@ -242,7 +437,10 @@ def encode_int(vals: np.ndarray, codec: str, _depth: int = 0) -> bytes:
     if codec == "dict":
         if n == 0:
             return encode_int(v, "plain")
-        uniq, codes = np.unique(v, return_inverse=True)
+        if _prep is not None:
+            uniq, codes = _prep["uniq"], _inverse(_prep)
+        else:
+            uniq, codes = np.unique(v, return_inverse=True)
         card = len(uniq)
         w_codes = max(card - 1, 0).bit_length()
         return (
@@ -250,6 +448,47 @@ def encode_int(vals: np.ndarray, codec: str, _depth: int = 0) -> bytes:
             + _encode_nested(uniq, _depth + 1)
             + pack_uint(codes.astype(np.uint64), w_codes)
         )
+    if codec == "varint":
+        payload = varint_encode(_zigzag(v))
+        return struct.pack("<BQQ", CODEC_VARINT, n, len(payload)) + payload
+    if codec == "vardict":
+        if n == 0:
+            return encode_int(v, "plain")
+        if _prep is not None:
+            uniq, inv, ranks, order = (
+                _prep["uniq"],
+                _inverse(_prep),
+                _prep["ranks"],
+                _prep["order"],
+            )
+        else:
+            uniq, inv, counts = np.unique(
+                v, return_inverse=True, return_counts=True
+            )
+            order = np.lexsort((uniq, -counts))
+            ranks = np.empty(len(uniq), dtype=np.int64)
+            ranks[order] = np.arange(len(uniq))
+        payload = varint_encode(ranks[inv].astype(np.uint64))
+        return (
+            struct.pack("<BQI", CODEC_VARDICT, n, len(uniq))
+            + _encode_nested(uniq[order], _depth + 1)
+            + struct.pack("<Q", len(payload))
+            + payload
+        )
+    if codec == "forblock":
+        if n == 0:
+            return encode_int(v, "plain")
+        ref = int(v.min())
+        u = (v - ref).astype(np.uint64)
+        bs = _FORBLOCK_BS
+        bw = _block_widths(u, bs)
+        parts = [
+            struct.pack("<BQqH", CODEC_FORBLOCK, n, ref, bs),
+            bw.tobytes(),
+        ]
+        for i, w in enumerate(bw):
+            parts.append(pack_uint(u[i * bs : (i + 1) * bs], int(w)))
+        return b"".join(parts)
     raise ValueError(f"unknown integer codec: {codec!r}")
 
 
@@ -260,16 +499,18 @@ def _encode_nested(vals: np.ndarray, depth: int) -> bytes:
 
 def encode_int_best(vals: np.ndarray, _depth: int = 0) -> bytes:
     """Auto-select the codec by exact size and encode (the hot path)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if len(v) == 0:
+        return encode_int(v, "plain")
     if _depth >= _MAX_NEST_DEPTH:
-        v = np.asarray(vals)
-        if len(v) == 0:
-            return encode_int(v, "plain")
-        v64 = v.astype(np.int64, copy=False)
-        vmin, vmax = int(v64.min()), int(v64.max())
+        vmin, vmax = int(v.min()), int(v.max())
         sz_for = 18 + _packed_bytes(len(v), _width(vmin, vmax))
         sz_plain = 10 + _plain_itemsize(vmin, vmax) * len(v)
         return encode_int(v, "for" if sz_for < sz_plain else "plain")
-    return encode_int(vals, select_int_codec(vals), _depth=_depth)
+    prep = _prepare(v)
+    sizes = _sizes(prep)
+    codec = min(sizes, key=lambda k: (sizes[k], _TIE_ORDER[k]))
+    return encode_int(v, codec, _depth=_depth, _prep=prep)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +558,32 @@ def _decode_at(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
         nbytes = _packed_bytes(n, w_codes)
         codes = unpack_uint(bytes(buf[mid : mid + nbytes]), n, w_codes)
         return uniq[codes.astype(np.int64)], mid + nbytes
+    if codec_id == CODEC_VARINT:
+        n, plen = struct.unpack_from("<QQ", buf, off + 1)
+        start = off + 17
+        u = varint_decode(bytes(buf[start : start + plen]), n)
+        return _unzigzag(u), start + plen
+    if codec_id == CODEC_VARDICT:
+        n, card = struct.unpack_from("<QI", buf, off + 1)
+        dictvals, mid = _decode_nested(buf, off + 13)
+        (plen,) = struct.unpack_from("<Q", buf, mid)
+        codes = varint_decode(bytes(buf[mid + 8 : mid + 8 + plen]), n)
+        return dictvals[codes.astype(np.int64)], mid + 8 + plen
+    if codec_id == CODEC_FORBLOCK:
+        n, ref, bs = struct.unpack_from("<QqH", buf, off + 1)
+        nblocks = (n + bs - 1) // bs
+        widths = np.frombuffer(buf[off + 19 : off + 19 + nblocks], dtype=np.uint8)
+        p = off + 19 + nblocks
+        out = np.empty(n, dtype=np.int64)
+        for i, w in enumerate(widths):
+            m = bs if i < nblocks - 1 or n % bs == 0 else n % bs
+            nbytes = _packed_bytes(m, int(w))
+            out[i * bs : i * bs + m] = unpack_uint(
+                bytes(buf[p : p + nbytes]), m, int(w)
+            ).astype(np.int64)
+            p += nbytes
+        out += ref
+        return out, p
     raise ValueError(f"unknown codec id {codec_id} at offset {off}")
 
 

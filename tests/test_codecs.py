@@ -57,7 +57,7 @@ ADVERSARIAL = {
 
 
 @pytest.mark.parametrize("name", sorted(ADVERSARIAL))
-@pytest.mark.parametrize("codec", ["plain", "for", "delta", "rle", "dict"])
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "rle", "dict", "varint", "vardict", "forblock"])
 def test_roundtrip_every_codec(name, codec):
     vals = ADVERSARIAL[name]
     decoded = decode_int(encode_int(vals, codec))
@@ -98,7 +98,7 @@ def test_analyze_sizes_are_exact():
             actual = len(encode_int(vals, codec))
             # nested blobs are auto-selected, so predictions for delta/rle/
             # dict are upper bounds (nested FOR assumed); plain & for exact
-            if codec in ("plain", "for"):
+            if codec in ("plain", "for", "varint", "forblock"):
                 assert actual == predicted, (name, codec, actual, predicted)
             else:
                 assert actual <= predicted, (name, codec, actual, predicted)
@@ -118,7 +118,7 @@ def test_blob_is_self_describing():
 
 @given(
     st.lists(st.integers(min_value=INT32_MIN, max_value=INT32_MAX), max_size=300),
-    st.sampled_from(["plain", "for", "delta", "rle", "dict"]),
+    st.sampled_from(["plain", "for", "delta", "rle", "dict", "varint", "vardict", "forblock"]),
 )
 @settings(max_examples=200, deadline=None)
 def test_roundtrip_property(xs, codec):
