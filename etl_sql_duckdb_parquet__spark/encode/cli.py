@@ -1,0 +1,97 @@
+"""spark-submit entry point for the encode/decode/verify pipeline.
+
+Local smoke (also what `.claude/skills/verify` drives)::
+
+    python -m etl_sql_duckdb_parquet__spark.encode.cli \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/enc --cores 8
+
+Cluster: ``spark-submit --py-files etl_sql_duckdb_parquet__spark.zip
+cli.py ...`` — the session then comes from spark-submit, not session.py.
+
+Replaces the reference's ``python -m src.cli etl`` + ``benchmark`` entry
+points (reference ``src/cli.py:31-99``, ``src/benchmarks.py:67-144``) for
+the token-table workload: encode, lineage manifest, decode-verify, and a
+compression comparison against the reference's own method (plain
+Parquet/ZSTD of the same table, reference ``src/etl/load.py:44-48``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--target-tokens", type=int, default=2_000_000)
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="use the synthetic generator with N docs instead of documents.parquet")
+    ap.add_argument("--partition-mode", choices=["source", "hash"], default="source")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="skip writing the Parquet/ZSTD reference copy")
+    args = ap.parse_args(argv)
+
+    from ..session import get_spark
+    from .decode_job import decode_token_table, verify_roundtrip
+    from .encode_job import encode_token_table
+    from .synth import synth_token_table, tokenize_documents
+
+    spark = get_spark(cores=args.cores)
+    if args.synth_docs:
+        df = synth_token_table(spark, args.synth_docs)
+    else:
+        df = tokenize_documents(spark, args.sf_dir)
+
+    t0 = time.perf_counter()
+    stats = encode_token_table(
+        spark,
+        df,
+        args.out,
+        target_tokens=args.target_tokens,
+        by_source=args.partition_mode == "source",
+        resume=not args.no_resume,
+    )
+    stats["encode_wall_s"] = round(time.perf_counter() - t0, 3)
+    stats["tokens_per_s"] = round(
+        stats["n_tokens"] / stats["encode_wall_s"], 1
+    ) if stats["encode_wall_s"] else 0.0
+
+    if not args.skip_reference:
+        ref_dir = os.path.join(args.out, "reference_zstd")
+        if not os.path.exists(ref_dir):
+            df.write.mode("overwrite").option("compression", "zstd").parquet(ref_dir)
+        stats["reference_zstd_bytes"] = dir_bytes(ref_dir)
+        stats["our_blob_file_bytes"] = dir_bytes(os.path.join(args.out, "blobs"))
+        if stats["comp_bytes"]:
+            stats["ratio_vs_reference"] = round(
+                stats["our_blob_file_bytes"] / stats["reference_zstd_bytes"], 4
+            )
+
+    if not args.no_verify:
+        decoded = decode_token_table(spark, args.out)
+        v = verify_roundtrip(df, decoded)
+        stats["verified_ok"] = v["ok"]
+        stats["verify"] = v
+
+    print(json.dumps(stats, default=str))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Decode path: blobs → token table, bit-identical (the north-rule invariant).
+
+Reads the manifest to pick, per partition, the latest successful run (so
+orphaned blob files from a crashed run can never leak into results), joins
+the blob table on (part_id, run_id), and reverses every codec inside an
+Arrow-batched ``mapInPandas``.  Verification is a distributed join on
+doc_id with null-safe array equality — no driver-side collection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..codecs import decode_int, decode_strings
+from .manifest import blobs_path, read_manifest
+
+DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _decode_batches(iterator):
+    for pdf in iterator:
+        for row in pdf.itertuples(index=False):
+            values = decode_int(row.tokens_blob).astype(np.int32)
+            lengths = decode_int(row.lengths_blob)
+            if len(lengths) == 0:
+                continue
+            docids = decode_strings(row.docids_blob)
+            sources = decode_strings(row.sources_blob)
+            offsets = np.cumsum(lengths)[:-1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": docids,
+                    "tokens": np.split(values, offsets),
+                    "n_tok": lengths.astype(np.int32),
+                    "source": sources,
+                }
+            )
+
+
+def winning_blobs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Blob rows for the latest OK run per partition, manifest-gated."""
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    w = Window.partitionBy("part_id").orderBy(F.desc("finished_at"), F.desc("run_id"))
+    winners = (
+        manifest.filter(F.col("status") == "ok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("part_id", "run_id")
+    )
+    blobs = spark.read.parquet(blobs_path(out_dir))
+    return blobs.join(F.broadcast(winners), ["part_id", "run_id"], "inner")
+
+
+def decode_token_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Blobs + manifest → (doc_id, tokens, n_tok, source)."""
+    return winning_blobs(spark, out_dir).mapInPandas(
+        _decode_batches, DECODED_SCHEMA
+    )
+
+
+def verify_roundtrip(src: DataFrame, decoded: DataFrame) -> dict:
+    """Distributed token-array equality check (north-rule invariant).
+
+    Mirrors the reference's readback-fidelity check (its queries over
+    written Parquet match golden outputs, ``docs/example_output.md``) but
+    enforced exactly: every doc's token array must be bit-identical.
+    """
+    a = src.select(
+        "doc_id",
+        F.col("tokens").alias("_t_src"),
+        F.col("source").alias("_s_src"),
+    )
+    b = decoded.select(
+        "doc_id",
+        F.col("tokens").alias("_t_dec"),
+        F.col("source").alias("_s_dec"),
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    row = joined.agg(
+        F.count("*").alias("n_union"),
+        F.sum(
+            F.when(
+                F.col("_t_src").eqNullSafe(F.col("_t_dec"))
+                & F.col("_s_src").eqNullSafe(F.col("_s_dec")),
+                1,
+            ).otherwise(0)
+        ).alias("n_match"),
+        F.sum(F.when(F.col("_t_src").isNull(), 1).otherwise(0)).alias("n_extra"),
+        F.sum(F.when(F.col("_t_dec").isNull(), 1).otherwise(0)).alias("n_missing"),
+    ).first()
+    return {
+        "n_union": row["n_union"],
+        "n_match": row["n_match"],
+        "n_extra_decoded": row["n_extra"],
+        "n_missing_decoded": row["n_missing"],
+        "ok": row["n_union"] == row["n_match"],
+    }

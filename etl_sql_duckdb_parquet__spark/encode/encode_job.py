@@ -1,0 +1,269 @@
+"""The encode job: token table → per-partition codec blobs + manifest.
+
+DataFrame program (SURVEY.md §7.0a):
+
+1. :func:`plan_partitions` — EXPLICIT partition assignment.  Default mode is
+   source-aware + salted: partitions are source-homogeneous (same-source
+   token streams share statistics → better codec fits), and each source gets
+   ``ceil(source_tokens / target_tokens)`` salt buckets keyed by
+   ``xxhash64(doc_id)`` — a 70%-hot source is split across proportionally
+   many partitions instead of melting one executor.  This is the skew
+   handling the AQE can't do for groupBy-aggregate workloads.
+2. One ``groupBy(part_id).applyInPandas`` — the single shuffle of the job.
+   Inside the UDF everything is vectorized numpy over Arrow batches
+   (no per-row Python; reference's only per-row op, the row hash at
+   ``src/etl/ingest.py:56-58``, is replaced by vectorized checksums).
+3. Blobs written as uncompressed Parquet (our codecs ARE the compression;
+   a codec on top would contaminate the size measurement), partitioned by
+   run so re-runs never collide; manifest rows appended per partition.
+
+Resume: planned parts are anti-joined against the manifest before encoding
+(only missing/failed partitions run), making the job idempotent per input
+snapshot — kill it anywhere and re-run.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs import encode_int_best, encode_strings
+from ..codecs.core import codec_of
+from .manifest import (
+    append_manifest,
+    blobs_path,
+    completed_parts,
+    snapshot_id_of,
+)
+
+DEFAULT_TARGET_TOKENS = 2_000_000
+
+# blob rows carry exactly 5 data columns + one JSON metadata column —
+# every extra column costs per-file footer bytes (schema + column-chunk
+# metadata) across millions of files at 100 TB scale
+ENCODED_SCHEMA = "part_id int, tokens_blob binary, lengths_blob binary, docids_blob binary, sources_blob binary, meta string"
+
+META_SCHEMA = (
+    "codec string, n_docs long, n_tokens long, raw_bytes long, "
+    "comp_bytes long, encode_s double, checksum long"
+)
+
+
+def plan_partitions(
+    df: DataFrame,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    by_source: bool = True,
+) -> tuple[DataFrame, int]:
+    """Assign an explicit ``part_id`` to every doc; returns (df, n_parts).
+
+    ``by_source=True``: contiguous part-id ranges per source, salted by
+    doc-id hash, salt count ∝ the source's token mass (skew-proof).
+    ``by_source=False``: plain uniform ``xxhash64(doc_id) mod n``.
+    """
+    spark = df.sparkSession
+    if by_source:
+        shares = sorted(
+            df.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect(),
+            key=lambda r: r["source"],
+        )
+        # Hot sources get ceil(tok/target) salted partitions of their own;
+        # small sources are greedily bin-packed into shared partitions so a
+        # long tail of sources can't explode the partition count (and with
+        # it per-partition codec-table overhead).
+        rows, off = [], 0
+        bin_tok = 0
+        bin_open = False
+        for r in shares:
+            tok = r["tok"] or 0
+            if tok >= target_tokens // 2:
+                if bin_open:
+                    off += 1
+                    bin_open, bin_tok = False, 0
+                salts = max(1, math.ceil(tok / target_tokens))
+                rows.append((r["source"], off, salts))
+                off += salts
+            else:
+                if bin_open and bin_tok + tok > target_tokens:
+                    off += 1
+                    bin_tok = 0
+                rows.append((r["source"], off, 1))
+                bin_tok += tok
+                bin_open = True
+        if bin_open:
+            off += 1
+        n_parts = off
+        plan = spark.createDataFrame(
+            rows, "source string, _offset int, _salts int"
+        )
+        out = (
+            df.join(F.broadcast(plan), "source")
+            .withColumn(
+                "part_id",
+                (
+                    F.col("_offset")
+                    + F.pmod(F.xxhash64("doc_id"), F.col("_salts"))
+                ).cast("int"),
+            )
+            .drop("_offset", "_salts")
+        )
+        return out, n_parts
+    total = df.agg(F.sum("n_tok")).first()[0] or 0
+    n_parts = max(1, math.ceil(total / target_tokens))
+    out = df.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    )
+    return out, n_parts
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batched per-partition encode kernel (runs on executors)."""
+    t0 = time.perf_counter()
+    part_id = int(pdf["part_id"].iloc[0])
+    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"]]
+    values = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    docids = pdf["doc_id"].tolist()
+    sources = pdf["source"].tolist()
+
+    tokens_blob = encode_int_best(values)
+    lengths_blob = encode_int_best(lengths)
+    docids_blob = encode_strings(docids)
+    sources_blob = encode_strings(sources)
+
+    raw_bytes = (
+        4 * len(values)
+        + 4 * len(lengths)
+        + sum(len(d.encode("utf-8")) for d in docids)
+        + sum(len(s.encode("utf-8")) for s in sources)
+    )
+    comp_bytes = (
+        len(tokens_blob) + len(lengths_blob) + len(docids_blob) + len(sources_blob)
+    )
+    checksum = int(
+        values.astype(np.uint64, copy=False).sum(dtype=np.uint64)
+        & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    )
+    meta = json.dumps(
+        {
+            "codec": codec_of(tokens_blob),
+            "n_docs": len(arrs),
+            "n_tokens": len(values),
+            "raw_bytes": raw_bytes,
+            "comp_bytes": comp_bytes,
+            "encode_s": round(time.perf_counter() - t0, 6),
+            "checksum": checksum,
+        }
+    )
+    return pd.DataFrame(
+        {
+            "part_id": [part_id],
+            "tokens_blob": [tokens_blob],
+            "lengths_blob": [lengths_blob],
+            "docids_blob": [docids_blob],
+            "sources_blob": [sources_blob],
+            "meta": [meta],
+        }
+    )
+
+
+def encode_token_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    by_source: bool = True,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> dict:
+    """Encode a (doc_id, tokens, n_tok, source) table; returns run stats."""
+    run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
+    snapshot_id = snapshot_id_of(df)
+    planned, n_parts = plan_partitions(df, target_tokens, by_source)
+
+    skipped = 0
+    pending = planned
+    if resume:
+        done = completed_parts(spark, out_dir, snapshot_id)
+        if done is not None:
+            skipped = done.count()
+            pending = planned.join(F.broadcast(done), "part_id", "left_anti")
+
+    if pending.isEmpty():
+        return {
+            "run_id": run_id,
+            "snapshot_id": snapshot_id,
+            "n_parts_planned": n_parts,
+            "n_parts_skipped_resume": skipped,
+            "n_parts_encoded": 0,
+            "n_docs": 0,
+            "n_tokens": 0,
+            "raw_bytes": 0,
+            "comp_bytes": 0,
+            "encode_cpu_s": 0.0,
+        }
+
+    encoded = pending.groupBy("part_id").applyInPandas(
+        _encode_group, ENCODED_SCHEMA
+    )
+    # pack many blob rows per output file (parquet footer overhead is per
+    # file); the shuffle moved is tiny — already-encoded blobs
+    n_files = max(1, math.ceil(n_parts / 64))
+    (
+        encoded.repartition(n_files)
+        .withColumn("run_id", F.lit(run_id)).write.mode("append")
+        .option("compression", "none")
+        .partitionBy("run_id")
+        .parquet(blobs_path(out_dir))
+    )
+
+    # derive manifest rows from the blobs just written (single encode pass —
+    # no recompute, no cache): read back this run's partition only
+    written = (
+        spark.read.parquet(blobs_path(out_dir))
+        .filter(F.col("run_id") == run_id)
+        .select("part_id", F.from_json("meta", META_SCHEMA).alias("m"))
+        .select("part_id", "m.*")
+    )
+    manifest_rows = written.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(snapshot_id).alias("snapshot_id"),
+        "part_id",
+        "codec",
+        "n_docs",
+        "n_tokens",
+        "raw_bytes",
+        "comp_bytes",
+        "encode_s",
+        "checksum",
+        F.lit("ok").alias("status"),
+        F.current_timestamp().alias("finished_at"),
+    )
+    append_manifest(manifest_rows, out_dir)
+
+    agg = written.agg(
+        F.count("*").alias("parts"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("comp_bytes").alias("comp"),
+        F.sum("encode_s").alias("cpu_s"),
+    ).first()
+    return {
+        "run_id": run_id,
+        "snapshot_id": snapshot_id,
+        "n_parts_planned": n_parts,
+        "n_parts_skipped_resume": skipped,
+        "n_parts_encoded": agg["parts"] or 0,
+        "n_docs": agg["docs"] or 0,
+        "n_tokens": agg["tokens"] or 0,
+        "raw_bytes": agg["raw"] or 0,
+        "comp_bytes": agg["comp"] or 0,
+        "encode_cpu_s": agg["cpu_s"] or 0.0,
+    }

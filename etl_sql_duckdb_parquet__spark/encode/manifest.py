@@ -1,0 +1,79 @@
+"""Checkpoint/lineage manifest — the engine's resumability layer.
+
+Plays the role of the reference's SQLite run-history audit trail
+(reference ``src/history.py:22-48``: per-run status, row counts, duration)
+and its per-row audit columns (reference ``src/etl/ingest.py:53-58``),
+reshaped for a distributed encode job: one append-only Parquet table with
+one row per encoded partition::
+
+    (run_id, snapshot_id, part_id, codec, n_docs, n_tokens,
+     raw_bytes, comp_bytes, encode_s, checksum, status, finished_at)
+
+Resume = anti-join of the planned partition list against committed
+manifest rows for the same input snapshot — only missing/failed partitions
+are re-encoded.  Spark has no built-in batch resume; this is ours.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "run_id string, snapshot_id string, part_id int, codec string, "
+    "n_docs long, n_tokens long, raw_bytes long, comp_bytes long, "
+    "encode_s double, checksum long, status string, finished_at timestamp"
+)
+
+MANIFEST_COLS = [f.split(" ")[0] for f in MANIFEST_SCHEMA.split(", ")]
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def blobs_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "blobs")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = manifest_path(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # first run: no manifest yet
+
+
+def append_manifest(df: DataFrame, out_dir: str) -> None:
+    df.select(*MANIFEST_COLS).write.mode("append").parquet(manifest_path(out_dir))
+
+
+def completed_parts(
+    spark: SparkSession, out_dir: str, snapshot_id: str
+) -> DataFrame | None:
+    """part_ids already encoded OK for this exact input snapshot."""
+    m = read_manifest(spark, out_dir)
+    if m is None:
+        return None
+    return (
+        m.filter((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "ok"))
+        .select("part_id")
+        .distinct()
+    )
+
+
+def snapshot_id_of(df: DataFrame) -> str:
+    """Deterministic fingerprint of the input table (content-addressed).
+
+    Order-insensitive: count + token sum + xor-style aggregate of per-doc
+    hashes.  One cheap aggregate action; replaces an Iceberg snapshot id in
+    environments without a table format.
+    """
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum("n_tok").alias("s"),
+        F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("h"),
+    ).first()
+    return f"snap_{row['n']}_{row['s']}_{(row['h'] or 0) & 0xFFFFFFFFFFFF:012x}"

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place that pins the configs the engine depends on:
+- AQE on (runtime coalesce / skew handling),
+- Arrow on (all Python kernels are Arrow-batched, never per-row),
+- UTC session timezone (oracle parity with DuckDB's UTC-naive timestamps),
+- shuffle partitions sized to cores for local mode (not the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "etl_sql_duckdb_parquet__spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` → ``local[*]``.  On a real cluster this module is not
+    used — ``spark-submit`` provides the session and these configs move to
+    ``spark-defaults.conf``; nothing else in the engine assumes local mode.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # parquet min/max statistics on multi-MB binary blob columns would
+        # embed truncated blob copies in every footer — cap them
+        .config("spark.hadoop.parquet.statistics.truncate.length", "16")
+        .config("spark.hadoop.parquet.columnindex.truncate.length", "16")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

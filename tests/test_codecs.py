@@ -207,3 +207,27 @@ def test_strdict_picked_for_low_cardinality():
 @settings(max_examples=100, deadline=None)
 def test_strings_roundtrip_property(vals):
     assert decode_strings(encode_strings(vals)) == vals
+
+
+def test_pattern_id_roundtrip_and_size():
+    ids = [f"doc_{i:010d}" for i in range(5000)]
+    blob = encode_strings(ids)
+    assert blob[0] == 12  # CODEC_PATTERNID
+    assert decode_strings(blob) == ids
+    assert len(blob) < 0.02 * sum(len(s) for s in ids)
+    # shuffled (non-sequential) still pattern-encodable
+    shuffled = [ids[(i * 2654435761) % 5000] for i in range(5000)]
+    blob2 = encode_strings(shuffled)
+    assert decode_strings(blob2) == shuffled
+
+
+def test_pattern_id_rejects_non_uniform():
+    for vals in (
+        ["doc_1", "doc_22"],            # ragged width
+        ["doc_01", "dud_02"],           # prefix mismatch
+        ["doc_aa", "doc_bb"],           # no digit suffix
+        [],
+    ):
+        blob = encode_strings(vals)
+        assert decode_strings(blob) == vals
+        assert blob[0] != 12
