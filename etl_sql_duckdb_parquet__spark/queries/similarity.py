@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table.
+
+- q44/q45: brute-force cosine (exact baseline) — cross-join, dot product
+  computed with ``zip_with``/``aggregate`` entirely JVM-side in double
+  precision so the DuckDB oracle (same fold order, same casts) matches
+  bit-for-bit before rounding.
+- q46: LSH-bucketed ANN (the scale path) — deterministic random-hyperplane
+  signs bucket the vectors; only same-bucket pairs are scored.  At 10^9
+  vectors the bucket join replaces the O(n²) cross-join; recall is traded
+  via the number of hyperplanes.  Rows-only driver check; pytest measures
+  recall against the brute-force top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+_DIM = 64
+_N_TABLES = 8  # OR-amplification: candidate if ANY table buckets a pair together
+_K_PLANES = 4  # AND within a table: k sign bits per bucket id
+_SEED = 42
+
+_DOT = (
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+    "(acc, v) -> acc + v)"
+)
+_TO_DOUBLE = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_NORM = (
+    "sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
+    "(acc, y) -> acc + y))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_TO_DOUBLE).alias("v"))
+        .withColumn("nrm", F.expr(_NORM))
+    )
+
+
+def _pair_cosine(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cross join with cosine; caller filters/limits."""
+    aa = a.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return aa.crossJoin(bb).select(
+        "a_id",
+        "b_id",
+        (F.expr(_DOT) / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+
+
+def q44_top20_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar distinct pairs (brute force, exact)."""
+    v = _vectors(spark, sf_dir)
+    pairs = _pair_cosine(v, v).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for each of the first 10 vectors (brute force)."""
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < 10)
+    pairs = _pair_cosine(queries, v).filter(F.col("a_id") != F.col("b_id"))
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("cos"), F.asc("b_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("a_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_plane_literals(
+    dim: int = _DIM, n_tables: int = _N_TABLES, k_planes: int = _K_PLANES
+) -> list:
+    """Deterministic ±1 hyperplanes per table (seed-fixed, no runtime RNG)."""
+    rng = np.random.RandomState(_SEED)
+    return (
+        rng.randint(0, 2, size=(n_tables, k_planes, dim)) * 2 - 1
+    ).tolist()
+
+
+def _plane_dot(plane: list) -> F.Column:
+    arr = ",".join(str(float(x)) for x in plane)
+    return F.expr(
+        f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+
+
+def q46_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 neighbors for the first 10 vectors.
+
+    L hash tables (OR) of k sign-bit planes (AND): a pair is a candidate
+    if any table puts both vectors in the same bucket — the standard
+    recall/cost amplification.  At 10^9 vectors the per-table bucket join
+    replaces the O(n²) cross-join; L and k tune recall vs candidates.
+    Rows-only driver check (approximate by construction); pytest measures
+    recall against the brute-force top-k.
+    """
+    v = _vectors(spark, sf_dir)
+    tables = lsh_plane_literals()
+    buckets = []
+    for planes in tables:
+        bucket = None
+        for p, plane in enumerate(planes):
+            bit = F.when(_plane_dot(plane) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(bucket.cast("int"))
+    bucketed = v.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
+    )
+    qa = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "table_idx",
+        "bucket",
+    )
+    cb = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "table_idx",
+        "bucket",
+    )
+    pairs = (
+        qa.join(cb, ["table_idx", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "va", "vb", "na", "nb")
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            (F.expr(_DOT) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("a_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_VECTORS = """
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum'))
+                   AS nrm
+        FROM v
+    )
+"""
+
+SIMILARITY_ORACLES: dict[str, str] = {
+    "q44_top20_similar_pairs": f"""
+        WITH {_SQL_VECTORS}
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+                   AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        ORDER BY cosine DESC, a_id, b_id
+        LIMIT 20
+    """,
+    "q45_cosine_topk": f"""
+        WITH {_SQL_VECTORS},
+        pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+                   round(cos, 6) AS cosine
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM ranked
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+}

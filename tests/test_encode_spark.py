@@ -150,3 +150,17 @@ def test_compression_beats_reference_parquet_zstd(spark, tmp_path):
         if not f.startswith(("_", "."))
     )
     assert blob_bytes <= ref_bytes, (blob_bytes, ref_bytes)
+
+
+def test_input_stats_single_pass_matches_snapshot_id(spark, token_df):
+    """input_stats folds the snapshot fingerprint into the planning
+    aggregate; it must equal the standalone manifest fingerprint."""
+    from etl_sql_duckdb_parquet__spark.encode.encode_job import input_stats
+    from etl_sql_duckdb_parquet__spark.encode.manifest import snapshot_id_of
+
+    shares, snap = input_stats(token_df)
+    assert snap == snapshot_id_of(token_df)
+    assert sum(r["n"] for r in shares) == token_df.count()
+    assert {r["source"] for r in shares} == {
+        r["source"] for r in token_df.select("source").distinct().collect()
+    }

@@ -1,0 +1,93 @@
+"""Behavioral tests for the approximate training-data-pipeline operators
+(the ones the driver can only rows-only check): MinHash-LSH recall vs
+exact Jaccard, SimHash self-consistency, LSH-ANN recall vs brute force,
+multimodal metadata parity with the raw bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sql_duckdb_parquet__spark.queries.dedup import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    q41_ngram_jaccard_pairs,
+    q42_minhash_lsh_pairs,
+    q43_simhash_pairs,
+)
+from etl_sql_duckdb_parquet__spark.queries.multimodal import (  # noqa: E402
+    q47_media_metadata,
+)
+from etl_sql_duckdb_parquet__spark.queries.similarity import (  # noqa: E402
+    q45_cosine_topk,
+    q46_ann_lsh_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+
+def test_minhash_pairs_subset_of_exact(spark):
+    """Every LSH-verified pair must appear in the exact Jaccard answer
+    (verification step guarantees precision=1 vs the same threshold)."""
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in q41_ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r["jaccard"] >= JACCARD_THRESHOLD
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in q42_minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_simhash_identical_docs_collide(spark):
+    """Exact duplicates (if any) must have Hamming distance 0; pair list
+    is symmetric-free (a_id < b_id) and within the distance bound."""
+    rows = q43_simhash_pairs(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert 0 <= r["hamming"] <= 8
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Bucketed ANN top-5 should recover a reasonable fraction of the true
+    top-5 (8 tables × 4 planes ⇒ measured recall ≈ 0.66 on sf0.01)."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q45_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q46_ann_lsh_topk(spark, SF_DIR).collect()
+    }
+    assert len(truth) == 50
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"ANN recall {recall} suspiciously low"
+    # approximate results must still be real vectors, ranked 1..<=5 per query
+    assert all(q < 10 for q, _ in approx)
+
+
+def test_media_metadata_matches_bytes(spark):
+    import hashlib
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs}
+    meta = q47_media_metadata(spark, SF_DIR).collect()
+    assert len(meta) == len(texts)
+    for r in meta:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["sha"] == hashlib.sha256(raw).hexdigest()
+        assert r["width"] == 16 + len(raw) % 240
