@@ -40,8 +40,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--target-tokens", type=int, default=2_000_000)
     ap.add_argument("--synth-docs", type=int, default=0,
                     help="use the synthetic generator with N docs instead of documents.parquet")
+    ap.add_argument("--input-parquet", default=None,
+                    help="encode an existing (doc_id, tokens, n_tok, source) parquet table")
     ap.add_argument("--partition-mode", choices=["source", "hash"], default="source")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--warmup-runs", type=int, default=0,
+                    help="untimed full-path encode runs before the timed one "
+                         "(steady-state measurement: JIT + page cache warm)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip writing the Parquet/ZSTD reference copy")
@@ -53,10 +58,22 @@ def main(argv: list[str] | None = None) -> dict:
     from .synth import synth_token_table, tokenize_documents
 
     spark = get_spark(cores=args.cores)
-    if args.synth_docs:
+    if args.input_parquet:
+        df = spark.read.parquet(args.input_parquet)
+    elif args.synth_docs:
         df = synth_token_table(spark, args.synth_docs)
     else:
         df = tokenize_documents(spark, args.sf_dir)
+
+    for w in range(args.warmup_runs):
+        encode_token_table(
+            spark,
+            df,
+            os.path.join(args.out, f"_warmup_{w}"),
+            target_tokens=args.target_tokens,
+            by_source=args.partition_mode == "source",
+            resume=False,
+        )
 
     t0 = time.perf_counter()
     stats = encode_token_table(

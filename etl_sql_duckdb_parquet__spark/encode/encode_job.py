@@ -149,21 +149,20 @@ def plan_partitions(
     return out, n_parts
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Arrow-batched per-partition encode kernel (runs on executors)."""
+def _encode_blob_row(
+    part_id: int,
+    values: np.ndarray,
+    lengths: np.ndarray,
+    docids: list,
+    sources: list,
+    t_acc: float,
+) -> dict:
+    """Encode one logical partition's accumulated columns → blob row dict."""
     t0 = time.perf_counter()
-    part_id = int(pdf["part_id"].iloc[0])
-    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"]]
-    values = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
-    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-    docids = pdf["doc_id"].tolist()
-    sources = pdf["source"].tolist()
-
     tokens_blob = encode_int_best(values)
     lengths_blob = encode_int_best(lengths)
     docids_blob = encode_strings(docids)
     sources_blob = encode_strings(sources)
-
     raw_bytes = (
         4 * len(values)
         + 4 * len(lengths)
@@ -180,24 +179,86 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     meta = json.dumps(
         {
             "codec": codec_of(tokens_blob),
-            "n_docs": len(arrs),
+            "n_docs": len(lengths),
             "n_tokens": len(values),
             "raw_bytes": raw_bytes,
             "comp_bytes": comp_bytes,
-            "encode_s": round(time.perf_counter() - t0, 6),
+            "encode_s": round(time.perf_counter() - t0 + t_acc, 6),
             "checksum": checksum,
         }
     )
-    return pd.DataFrame(
-        {
-            "part_id": [part_id],
-            "tokens_blob": [tokens_blob],
-            "lengths_blob": [lengths_blob],
-            "docids_blob": [docids_blob],
-            "sources_blob": [sources_blob],
-            "meta": [meta],
-        }
+    return {
+        "part_id": part_id,
+        "tokens_blob": tokens_blob,
+        "lengths_blob": lengths_blob,
+        "docids_blob": docids_blob,
+        "sources_blob": sources_blob,
+        "meta": meta,
+    }
+
+
+def _encode_arrow_partition(batches):
+    """mapInArrow kernel: one physical partition → one blob row per part_id.
+
+    After ``repartition(n_parts, part_id)`` every logical partition lives
+    entirely in one physical partition (a physical partition may carry a
+    few part_ids on hash collision).  Working on Arrow batches directly —
+    ``ListArray.flatten()`` is a zero-copy view of the token values,
+    ``take`` and ``list_value_length`` are C++ kernels — avoids the
+    grouped-map path's per-key sort and per-row pandas materialization
+    entirely; Python only ever touches whole columns.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    acc: dict[int, dict] = {}
+    t0 = time.perf_counter()
+    for b in batches:
+        pids = b.column("part_id").to_numpy(zero_copy_only=False)
+        if len(pids) == 0:
+            continue
+        for p in np.unique(pids):
+            idx = pa.array(np.flatnonzero(pids == p))
+            toks = b.column("tokens").take(idx)
+            a = acc.setdefault(
+                int(p), {"vals": [], "lens": [], "ids": [], "srcs": []}
+            )
+            a["vals"].append(
+                toks.flatten().to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+            )
+            a["lens"].append(
+                pc.list_value_length(toks)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            a["ids"].extend(b.column("doc_id").take(idx).to_pylist())
+            a["srcs"].extend(b.column("source").take(idx).to_pylist())
+    t_acc = time.perf_counter() - t0
+
+    schema = pa.schema(
+        [
+            ("part_id", pa.int32()),
+            ("tokens_blob", pa.binary()),
+            ("lengths_blob", pa.binary()),
+            ("docids_blob", pa.binary()),
+            ("sources_blob", pa.binary()),
+            ("meta", pa.string()),
+        ]
     )
+    share = t_acc / len(acc) if acc else 0.0
+    for p, a in acc.items():
+        values = (
+            np.concatenate(a["vals"]) if a["vals"] else np.zeros(0, np.int64)
+        )
+        lengths = (
+            np.concatenate(a["lens"]) if a["lens"] else np.zeros(0, np.int64)
+        )
+        row = _encode_blob_row(p, values, lengths, a["ids"], a["srcs"], share)
+        yield pa.RecordBatch.from_pydict(
+            {k: [v] for k, v in row.items()}, schema=schema
+        )
 
 
 def encode_token_table(
@@ -222,7 +283,10 @@ def encode_token_table(
             skipped = done.count()
             pending = planned.join(F.broadcast(done), "part_id", "left_anti")
 
-    if pending.isEmpty():
+    # same snapshot ⇒ same plan, so "all planned parts already in the
+    # manifest" decides completion without evaluating `pending` (an
+    # isEmpty() here would cost an extra pass over the input)
+    if skipped >= n_parts:
         return {
             "run_id": run_id,
             "snapshot_id": snapshot_id,
@@ -236,8 +300,11 @@ def encode_token_table(
             "encode_cpu_s": 0.0,
         }
 
-    encoded = pending.groupBy("part_id").applyInPandas(
-        _encode_group, ENCODED_SCHEMA
+    # explicit repartition by part_id (the user-specified partition count
+    # suppresses AQE coalescing — every encode slot stays busy), then a
+    # streaming Arrow kernel; no per-key sort, no pandas rows
+    encoded = pending.repartition(n_parts, F.col("part_id")).mapInArrow(
+        _encode_arrow_partition, ENCODED_SCHEMA
     )
     # pack many blob rows per output file (parquet footer overhead is per
     # file); the shuffle moved is tiny — already-encoded blobs

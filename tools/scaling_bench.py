@@ -1,0 +1,127 @@
+"""Scaling-efficiency evidence for the north rule (N → 4N ≥ 0.8).
+
+No real cluster in this sandbox, so parallelism levels stand in for
+cluster sizes: the IDENTICAL encode job (same materialized input
+snapshot, same target partition size) runs in fresh subprocesses at
+``local[8]`` and ``local[32]`` (N and 4N cores); we report tokens/sec at
+both and efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage::
+
+    python tools/scaling_bench.py [--docs 300000] [--target-tokens 600000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def materialize_input(docs: int, path: str) -> None:
+    from etl_sql_duckdb_parquet__spark.encode.synth import synth_token_table
+    from etl_sql_duckdb_parquet__spark.session import get_spark
+
+    spark = get_spark(cores=32, app_name="scaling_input")
+    synth_token_table(spark, docs).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_encode(input_path: str, out: str, cores: int, target_tokens: int) -> dict:
+    cmd = [
+        sys.executable,
+        "-m",
+        "etl_sql_duckdb_parquet__spark.encode.cli",
+        "--input-parquet",
+        input_path,
+        "--out",
+        out,
+        "--cores",
+        str(cores),
+        "--target-tokens",
+        str(target_tokens),
+        "--no-resume",
+        "--no-verify",
+        "--skip-reference",
+        "--warmup-runs",
+        "1",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-3000:])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=300_000)
+    ap.add_argument("--target-tokens", type=int, default=600_000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+    cores_list = [int(c) for c in args.cores.split(",")]
+
+    work = tempfile.mkdtemp(prefix="scaling_")
+    input_path = os.path.join(work, "input")
+    try:
+        print(f"materializing {args.docs} docs → {input_path}", file=sys.stderr)
+        materialize_input(args.docs, input_path)
+
+        # interleave reps across core counts so host-level noise (this
+        # sandbox shares CPU) hits both parallelism levels evenly;
+        # best-of-reps approximates steady-state throughput per level
+        results = {}
+        for rep in range(args.repeats):
+            for cores in cores_list:
+                out = os.path.join(work, f"enc_{cores}_{rep}")
+                stats = run_encode(
+                    input_path, out, cores, args.target_tokens
+                )
+                shutil.rmtree(out, ignore_errors=True)
+                tput = stats["n_tokens"] / stats["encode_wall_s"]
+                print(
+                    f"local[{cores}] rep{rep}: {stats['n_tokens']} tokens "
+                    f"in {stats['encode_wall_s']}s → {tput:,.0f} tok/s "
+                    f"({stats['n_parts_encoded']} parts)",
+                    file=sys.stderr,
+                )
+                best = results.get(cores)
+                if best is None or tput > best["tokens_per_s"]:
+                    results[cores] = {
+                        "cores": cores,
+                        "n_tokens": stats["n_tokens"],
+                        "n_parts": stats["n_parts_encoded"],
+                        "encode_wall_s": stats["encode_wall_s"],
+                        "tokens_per_s": round(tput, 1),
+                    }
+
+        lo, hi = min(cores_list), max(cores_list)
+        ratio = hi / lo
+        eff = (
+            results[hi]["tokens_per_s"] / results[lo]["tokens_per_s"]
+        ) / ratio
+        summary = {
+            "runs": list(results.values()),
+            "scaling_factor": ratio,
+            "speedup": round(
+                results[hi]["tokens_per_s"] / results[lo]["tokens_per_s"], 3
+            ),
+            "scaling_efficiency": round(eff, 3),
+            "pass_ge_0.8": eff >= 0.8,
+        }
+        print(json.dumps(summary))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
