@@ -91,3 +91,20 @@ def test_media_metadata_matches_bytes(spark):
         assert r["n_bytes"] == len(raw)
         assert r["sha"] == hashlib.sha256(raw).hexdigest()
         assert r["width"] == 16 + len(raw) % 240
+
+
+def test_sql_entry_point_over_views(spark):
+    """Free-form SQL over registered views (reference `cli query` path)."""
+    from etl_sql_duckdb_parquet__spark.queries.common import register_views
+
+    register_views(spark, SF_DIR)
+    rows = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    ).collect()
+    assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
