@@ -78,3 +78,32 @@ def ingest_file(
         .withColumn("row_hash", row_hash)
         .withColumn("_ingest_order", F.monotonically_increasing_id())
     )
+
+
+def ingest_dir(
+    spark: SparkSession,
+    raw_dir: str,
+    spec: dict[str, str],
+    ingested_at: str | None = None,
+) -> dict[str, DataFrame]:
+    """Multi-file directory ingest (ref ``src/etl/ingest.py:64-87``):
+    ``spec`` maps table name → file name under ``raw_dir``."""
+    import os
+
+    return {
+        name: ingest_file(
+            spark, os.path.join(raw_dir, fname), ingested_at=ingested_at
+        )
+        for name, fname in spec.items()
+    }
+
+
+def merge_files(dfs: list[DataFrame]) -> DataFrame:
+    """Union-by-name merge of uploaded files (ref
+    ``src/file_upload.py:136-168``); columns missing in some inputs
+    become NULL."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )

@@ -186,3 +186,26 @@ def test_iqr_bounds(spark):
     df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
     b = iqr_outlier_bounds(df, "v")
     assert b["q1"] < b["q3"] and b["lo"] < b["q1"] and b["hi"] > b["q3"]
+
+
+def test_ingest_dir_and_merge(spark, tmp_path):
+    from etl_sql_duckdb_parquet__spark.etl.ingest import ingest_dir, merge_files
+    from etl_sql_duckdb_parquet__spark.etl.load import write_csv
+
+    (tmp_path / "a.csv").write_text("id,x\n1,a\n2,b\n")
+    (tmp_path / "b.tsv").write_text("id\ty\n3\tc\n")
+    tables = ingest_dir(
+        spark,
+        str(tmp_path),
+        {"a": "a.csv", "b": "b.tsv"},
+        ingested_at="2026-01-01 00:00:00",
+    )
+    assert tables["a"].count() == 2 and tables["b"].count() == 1
+    merged = merge_files([tables["a"], tables["b"]])
+    assert merged.count() == 3
+    assert {"id", "x", "y"} <= set(merged.columns)
+    # CSV sink round-trips (S9)
+    out = str(tmp_path / "out_csv")
+    write_csv(merged.select("id", "x", "y"), out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 3 and set(back.columns) == {"id", "x", "y"}
