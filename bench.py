@@ -71,6 +71,20 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
 
+    # untimed warmup: small full-path encode so the timed sections measure
+    # steady state (JIT, python workers, codegen), not session cold-start
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        encode_token_table(
+            spark,
+            synth_token_table(spark, 3000, avg_len=64),
+            warm_dir,
+            target_tokens=50_000,
+            resume=False,
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     # --- headline: encode pipeline on the sf-dir documents table
     work = tempfile.mkdtemp(prefix="bench_enc_")
     try:
