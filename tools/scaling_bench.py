@@ -35,7 +35,14 @@ def materialize_input(docs: int, path: str) -> None:
 
 
 def run_encode(input_path: str, out: str, cores: int, target_tokens: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + forked python workers) to
+    # exactly `cores` host CPUs — without it a local[8] JVM's GC/shuffle/
+    # netty threads and python workers spill onto extra cores and the
+    # N-vs-4N comparison measures nothing
     cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
         sys.executable,
         "-m",
         "etl_sql_duckdb_parquet__spark.encode.cli",
