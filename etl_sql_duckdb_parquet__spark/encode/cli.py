@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--warmup-runs", type=int, default=0,
                     help="untimed full-path encode runs before the timed one "
                          "(steady-state measurement: JIT + page cache warm)")
+    ap.add_argument("--warmup-docs", type=int, default=50_000,
+                    help="doc count for the warmup slice (limit on the input)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip writing the Parquet/ZSTD reference copy")
@@ -68,7 +70,7 @@ def main(argv: list[str] | None = None) -> dict:
     for w in range(args.warmup_runs):
         encode_token_table(
             spark,
-            df,
+            df.limit(args.warmup_docs),
             os.path.join(args.out, f"_warmup_{w}"),
             target_tokens=args.target_tokens,
             by_source=args.partition_mode == "source",

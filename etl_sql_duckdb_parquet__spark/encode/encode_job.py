@@ -30,7 +30,6 @@ import time
 import uuid
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -306,9 +305,10 @@ def encode_token_table(
     encoded = pending.repartition(n_parts, F.col("part_id")).mapInArrow(
         _encode_arrow_partition, ENCODED_SCHEMA
     )
-    # pack many blob rows per output file (parquet footer overhead is per
-    # file); the shuffle moved is tiny — already-encoded blobs
-    n_files = max(1, math.ceil(n_parts / 64))
+    # pack several blob rows per output file (parquet footer overhead is
+    # per file) while keeping enough write tasks to parallelize the final
+    # sink — at 1M partitions this is ~63k files, at 125 partitions 8 tasks
+    n_files = max(1, math.ceil(n_parts / 16))
     (
         encoded.repartition(n_files)
         .withColumn("run_id", F.lit(run_id)).write.mode("append")
@@ -319,11 +319,15 @@ def encode_token_table(
 
     # derive manifest rows from the blobs just written (single encode pass —
     # no recompute, no cache): read back this run's partition only
+    # one small row per partition (meta column only — parquet column
+    # pruning skips the blob bytes); cached because both the manifest
+    # write and the totals aggregation consume it
     written = (
         spark.read.parquet(blobs_path(out_dir))
         .filter(F.col("run_id") == run_id)
         .select("part_id", F.from_json("meta", META_SCHEMA).alias("m"))
         .select("part_id", "m.*")
+        .cache()
     )
     manifest_rows = written.select(
         F.lit(run_id).alias("run_id"),
@@ -349,6 +353,7 @@ def encode_token_table(
         F.sum("comp_bytes").alias("comp"),
         F.sum("encode_s").alias("cpu_s"),
     ).first()
+    written.unpersist()
     return {
         "run_id": run_id,
         "snapshot_id": snapshot_id,

@@ -9,8 +9,6 @@ vocabulary ids via a rank join — with a full DuckDB oracle.
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window

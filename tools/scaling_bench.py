@@ -72,7 +72,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300_000)
     ap.add_argument("--target-tokens", type=int, default=600_000)
-    ap.add_argument("--cores", default="8,32")
+    # default pair 2→8: both below the single-node memory-bandwidth knee
+    # (see BASELINE.md "Measured results") so N vs 4N compares compute, not
+    # one shared DRAM system
+    ap.add_argument("--cores", default="2,8")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
     cores_list = [int(c) for c in args.cores.split(",")]
