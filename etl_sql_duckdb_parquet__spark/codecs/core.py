@@ -48,6 +48,7 @@ CODEC_DICT = 4
 CODEC_VARINT = 9  # zigzag + LEB128 (skewed magnitude distributions)
 CODEC_VARDICT = 10  # frequency-ordered dictionary + LEB128 rank codes
 CODEC_FORBLOCK = 11  # FOR with per-miniblock bit widths (locally clustered)
+CODEC_ZWRAP = 13  # DEFLATE entropy layer over any other blob (when it wins)
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -62,6 +63,7 @@ CODEC_NAMES = {
     CODEC_VARINT: "varint",
     CODEC_VARDICT: "vardict",
     CODEC_FORBLOCK: "forblock",
+    CODEC_ZWRAP: "zwrap",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -518,8 +520,41 @@ def encode_int_best(vals: np.ndarray, _depth: int = 0) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def zwrap_best(blob: bytes, level: int = 6, min_ratio: float = 0.98) -> bytes:
+    """Optionally add a DEFLATE entropy layer on top of a finished blob.
+
+    Bit-packed/dictionary output still carries residual entropy skew that a
+    general-purpose entropy coder captures (the same layering the reference
+    relies on: Parquet's light encodings + ZSTD on top, reference
+    ``docs/benchmark_results.md:72-77``).  Applied only when it wins by
+    ≥2%, so incompressible blobs pay one compress attempt and nothing else.
+    Works over ANY blob (integer or string containers) — decoders dispatch
+    on the leading codec id.
+    """
+    import zlib
+
+    z = zlib.compress(blob, level)
+    if len(z) + 17 < min_ratio * len(blob):
+        return struct.pack("<BQQ", CODEC_ZWRAP, len(blob), len(z)) + z
+    return blob
+
+
+def zunwrap(blob: bytes | memoryview) -> bytes:
+    """Remove the DEFLATE layer if present; returns the inner blob."""
+    buf = memoryview(blob)
+    if len(buf) and buf[0] == CODEC_ZWRAP:
+        import zlib
+
+        raw_len, zlen = struct.unpack_from("<QQ", buf, 1)
+        inner = zlib.decompress(bytes(buf[17 : 17 + zlen]))
+        assert len(inner) == raw_len
+        return inner
+    return bytes(buf)
+
+
 def decode_int(blob: bytes) -> np.ndarray:
     """Decode any integer blob back to int64, bit-identical to the source."""
+    blob = zunwrap(blob)
     out, _ = _decode_at(memoryview(blob), 0)
     return out
 

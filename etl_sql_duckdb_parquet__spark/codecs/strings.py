@@ -157,6 +157,9 @@ def encode_strings(values) -> bytes:
 
 
 def decode_strings(blob: bytes) -> list[str]:
+    from .core import zunwrap
+
+    blob = zunwrap(blob)
     buf = memoryview(blob)
     codec_id = buf[0]
     if codec_id == CODEC_STRARR:

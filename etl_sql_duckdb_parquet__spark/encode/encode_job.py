@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..codecs import encode_int_best, encode_strings
-from ..codecs.core import codec_of
+from ..codecs.core import CODEC_IDS, codec_of, zunwrap, zwrap_best
 from .manifest import append_manifest, blobs_path, completed_parts
 
 DEFAULT_TARGET_TOKENS = 2_000_000
@@ -158,10 +158,13 @@ def _encode_blob_row(
 ) -> dict:
     """Encode one logical partition's accumulated columns → blob row dict."""
     t0 = time.perf_counter()
-    tokens_blob = encode_int_best(values)
-    lengths_blob = encode_int_best(lengths)
-    docids_blob = encode_strings(docids)
-    sources_blob = encode_strings(sources)
+    # per-column light codec first, then an optional DEFLATE entropy layer
+    # where it still wins ≥2% (the reference's own layering: Parquet light
+    # encodings + ZSTD on top)
+    tokens_blob = zwrap_best(encode_int_best(values))
+    lengths_blob = zwrap_best(encode_int_best(lengths))
+    docids_blob = zwrap_best(encode_strings(docids))
+    sources_blob = zwrap_best(encode_strings(sources))
     raw_bytes = (
         4 * len(values)
         + 4 * len(lengths)
@@ -175,9 +178,12 @@ def _encode_blob_row(
         values.astype(np.uint64, copy=False).sum(dtype=np.uint64)
         & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
     )
+    inner_codec = codec_of(zunwrap(tokens_blob))
+    if tokens_blob and tokens_blob[0] == CODEC_IDS["zwrap"]:
+        inner_codec += "+z"
     meta = json.dumps(
         {
-            "codec": codec_of(tokens_blob),
+            "codec": inner_codec,
             "n_docs": len(lengths),
             "n_tokens": len(values),
             "raw_bytes": raw_bytes,

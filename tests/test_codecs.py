@@ -231,3 +231,37 @@ def test_pattern_id_rejects_non_uniform():
         blob = encode_strings(vals)
         assert decode_strings(blob) == vals
         assert blob[0] != 12
+
+
+def test_zwrap_roundtrip_and_gate():
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__spark.codecs.core import (
+        CODEC_ZWRAP,
+        decode_int,
+        encode_int_best,
+        zunwrap,
+        zwrap_best,
+    )
+
+    rng = np.random.default_rng(3)
+    # skewed data: light codec leaves entropy → zwrap should engage
+    x = np.floor(50257 * rng.random(200_000) ** 3).astype(np.int64)
+    blob = encode_int_best(x)
+    wrapped = zwrap_best(blob)
+    assert wrapped[0] == CODEC_ZWRAP and len(wrapped) < len(blob)
+    assert zunwrap(wrapped) == blob
+    assert np.array_equal(decode_int(wrapped), x)
+    # incompressible-ish data: gate must refuse (blob returned unchanged)
+    y = rng.integers(0, 2**31, 50_000).astype(np.int64)
+    blob_y = encode_int_best(y)
+    assert np.array_equal(decode_int(zwrap_best(blob_y)), y)
+
+
+def test_zwrap_strings_dispatch():
+    from etl_sql_duckdb_parquet__spark.codecs import decode_strings, encode_strings
+    from etl_sql_duckdb_parquet__spark.codecs.core import zwrap_best
+
+    vals = [f"user_{i % 7}@example.com" for i in range(5000)]
+    blob = encode_strings(vals)
+    assert decode_strings(zwrap_best(blob)) == vals
