@@ -308,6 +308,31 @@ ANALYTICS_ORACLES: dict[str, str] = {
         FROM orders
         ORDER BY table_name, column_name, rule
     """,
+    "q27_sessionization": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS session_seq
+            FROM marked
+        ),
+        per AS (
+            SELECT user_id, session_seq, count(*) AS n_events
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               round(avg(n_events), 4) AS avg_events_per_session,
+               CAST(max(n_events) AS BIGINT) AS max_events_per_session
+        FROM per
+    """,
     "q26_audit_rowhash": """
         SELECT o_orderkey,
                sha256(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),

@@ -202,6 +202,30 @@ SIMILARITY_ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, a_id, b_id
         LIMIT 20
     """,
+    "q49_label_centroids": """
+        WITH dims AS (
+            SELECT label,
+                   i - 1 AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+        ),
+        cent AS (
+            SELECT label, dim, avg(x) AS c
+            FROM dims GROUP BY label, dim
+        ),
+        norms AS (
+            SELECT label,
+                   round(sqrt(sum(c * c)), 6) AS centroid_norm,
+                   count(*) AS n_dims
+            FROM cent GROUP BY label
+        )
+        SELECT n.label, n.centroid_norm, n.n_dims, v.n_vectors
+        FROM norms n
+        JOIN (SELECT label, count(*) AS n_vectors
+              FROM embeddings GROUP BY label) v USING (label)
+        ORDER BY label
+    """,
     "q45_cosine_topk": f"""
         WITH {_SQL_VECTORS},
         pairs AS (
@@ -222,3 +246,29 @@ SIMILARITY_ORACLES: dict[str, str] = {
         ORDER BY query_id, rank
     """,
 }
+
+
+def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors: positional explode →
+    per-dimension mean → re-assembled norm.  The aggregation shape IVF-style
+    ANN uses to build coarse quantizers."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.expr(_TO_DOUBLE)).alias("dim", "x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.count("*").alias("n_dims"),
+        )
+        .join(
+            emb.groupBy("label").agg(F.count("*").alias("n_vectors")),
+            "label",
+        )
+        .orderBy("label")
+    )
