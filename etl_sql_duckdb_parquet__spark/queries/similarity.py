@@ -272,3 +272,85 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_NPROBE = 3
+
+
+def q54_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label centroids as the coarse quantizer.
+
+    Build one centroid per label (10 cells), assign every vector to its
+    nearest centroid, and for each query probe the _NPROBE nearest cells
+    only — the inverted-file pattern: at 10^9 vectors with √n cells the
+    candidate set shrinks by ~√n vs brute force.  Rows-only driver check;
+    pytest measures recall vs the exact top-k.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    v = _vectors(spark, sf_dir)
+    # coarse quantizer: per-label mean vector (tiny → collected + broadcast)
+    cent = (
+        emb.select("label", F.posexplode(F.expr(_TO_DOUBLE)).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(s, e -> e.c)").alias("cv"),
+        )
+    )
+    cv_norm = (
+        "sqrt(aggregate(transform(cv, x -> x * x), CAST(0.0 AS DOUBLE), "
+        "(acc, y) -> acc + y))"
+    )
+    cells = cent.withColumn("cnrm", F.expr(cv_norm))
+    sim_to_cell = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, d) -> acc + d)"
+    ) / (F.col("nrm") * F.col("cnrm"))
+    ranked_cells = v.crossJoin(F.broadcast(cells)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        sim_to_cell.alias("csim"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        ranked_cells.withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    probes = (
+        ranked_cells.filter(F.col("vec_id") < 10)
+        .withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") <= _NPROBE)
+        .select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"), "cell")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    pairs = (
+        probes.join(cand, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id", "b_id",
+            (F.expr(_DOT) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("a_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.col("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )

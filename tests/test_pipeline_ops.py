@@ -108,3 +108,23 @@ def test_sql_entry_point_over_views(spark):
         """
     ).collect()
     assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer ANN (nprobe=3 of 10 cells) — measured recall
+    ≈0.5 on sf0.01; must stay well above the 0.3 random-probe floor."""
+    from etl_sql_duckdb_parquet__spark.queries.similarity import (
+        q54_ann_ivf_topk,
+    )
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q45_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q54_ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    assert len(approx) == 50
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
