@@ -40,25 +40,51 @@ def _decode_batches(iterator):
             )
 
 
-def winning_blobs(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Blob rows for the latest OK run per partition, manifest-gated."""
+def winning_blobs(
+    spark: SparkSession, out_dir: str, snapshots: str = "latest"
+) -> DataFrame:
+    """Blob rows for the winning run per partition, manifest-gated.
+
+    ``snapshots="latest"`` (default): only the most recently finished
+    input snapshot is decoded — a store that saw the table re-encoded
+    after an input change never mixes partitions across snapshots.
+    ``snapshots="all"``: additive/append mode — every snapshot's winning
+    partitions are unioned (each ingest batch encoded as its own snapshot
+    concatenates, the Iceberg-append ingestion shape).
+    Within a snapshot, the winner per part_id is the latest OK run, so a
+    resumed/re-run snapshot still dedupes exactly.
+    """
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    w = Window.partitionBy("part_id").orderBy(F.desc("finished_at"), F.desc("run_id"))
+    ok = manifest.filter(F.col("status") == "ok")
+    if snapshots == "latest":
+        latest = (
+            ok.orderBy(F.desc("finished_at"), F.desc("run_id"))
+            .select("snapshot_id")
+            .first()
+        )
+        ok = ok.filter(F.col("snapshot_id") == latest["snapshot_id"])
+    elif snapshots != "all":
+        raise ValueError(f"snapshots must be 'latest' or 'all': {snapshots!r}")
+    w = Window.partitionBy("snapshot_id", "part_id").orderBy(
+        F.desc("finished_at"), F.desc("run_id")
+    )
     winners = (
-        manifest.filter(F.col("status") == "ok")
-        .withColumn("_rn", F.row_number().over(w))
+        ok.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("part_id", "run_id")
+        .distinct()
     )
     blobs = spark.read.parquet(blobs_path(out_dir))
     return blobs.join(F.broadcast(winners), ["part_id", "run_id"], "inner")
 
 
-def decode_token_table(spark: SparkSession, out_dir: str) -> DataFrame:
+def decode_token_table(
+    spark: SparkSession, out_dir: str, snapshots: str = "latest"
+) -> DataFrame:
     """Blobs + manifest → (doc_id, tokens, n_tok, source)."""
-    return winning_blobs(spark, out_dir).mapInPandas(
+    return winning_blobs(spark, out_dir, snapshots).mapInPandas(
         _decode_batches, DECODED_SCHEMA
     )
 

@@ -164,3 +164,24 @@ def test_input_stats_single_pass_matches_snapshot_id(spark, token_df):
     assert {r["source"] for r in shares} == {
         r["source"] for r in token_df.select("source").distinct().collect()
     }
+
+
+def test_append_mode_decodes_all_snapshots(spark, tmp_path):
+    """Append-only ingestion: each batch encoded as its own snapshot;
+    decode(snapshots='all') concatenates, default decodes only the
+    latest snapshot (no cross-snapshot partition mixing)."""
+    out = str(tmp_path / "enc_append")
+    a = synth_token_table(spark, 800, avg_len=32, seed=1)
+    b = synth_token_table(spark, 600, avg_len=32, seed=2).withColumn(
+        "doc_id", F.concat(F.lit("b_"), F.col("doc_id"))
+    )
+    encode_token_table(spark, a, out, target_tokens=5_000)
+    encode_token_table(spark, b, out, target_tokens=5_000)
+
+    latest = decode_token_table(spark, out)  # default: latest snapshot only
+    v_latest = verify_roundtrip(b, latest)
+    assert v_latest["ok"], v_latest
+
+    both = decode_token_table(spark, out, snapshots="all")
+    v_both = verify_roundtrip(a.unionByName(b), both)
+    assert v_both["ok"], v_both
