@@ -501,18 +501,51 @@ def _encode_nested(vals: np.ndarray, depth: int) -> bytes:
 
 def encode_int_best(vals: np.ndarray, _depth: int = 0) -> bytes:
     """Auto-select the codec by exact size and encode (the hot path)."""
+    blob, _stats = encode_int_best_with_stats(vals, _depth=_depth)
+    return blob
+
+
+def encode_int_best_with_stats(
+    vals: np.ndarray, _depth: int = 0
+) -> tuple[bytes, dict]:
+    """Like :func:`encode_int_best` but also returns the selector's
+    statistics (cardinality / run structure / value range) — recorded in
+    the encode manifest so every partition's codec choice is auditable."""
     v = np.ascontiguousarray(vals, dtype=np.int64)
     if len(v) == 0:
-        return encode_int(v, "plain")
+        return encode_int(v, "plain"), {
+            "n": 0,
+            "n_distinct": 0,
+            "n_runs": 0,
+            "vmin": 0,
+            "vmax": 0,
+            "codec": "plain",
+        }
     if _depth >= _MAX_NEST_DEPTH:
         vmin, vmax = int(v.min()), int(v.max())
         sz_for = 18 + _packed_bytes(len(v), _width(vmin, vmax))
         sz_plain = 10 + _plain_itemsize(vmin, vmax) * len(v)
-        return encode_int(v, "for" if sz_for < sz_plain else "plain")
+        codec = "for" if sz_for < sz_plain else "plain"
+        return encode_int(v, codec), {
+            "n": len(v),
+            "n_distinct": -1,
+            "n_runs": -1,
+            "vmin": vmin,
+            "vmax": vmax,
+            "codec": codec,
+        }
     prep = _prepare(v)
     sizes = _sizes(prep)
     codec = min(sizes, key=lambda k: (sizes[k], _TIE_ORDER[k]))
-    return encode_int(v, codec, _depth=_depth, _prep=prep)
+    stats = {
+        "n": prep["n"],
+        "n_distinct": len(prep["uniq"]),
+        "n_runs": prep["n_runs"],
+        "vmin": prep["vmin"],
+        "vmax": prep["vmax"],
+        "codec": codec,
+    }
+    return encode_int(v, codec, _depth=_depth, _prep=prep), stats
 
 
 # ---------------------------------------------------------------------------

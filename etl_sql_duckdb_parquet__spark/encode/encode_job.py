@@ -33,7 +33,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import encode_int_best, encode_strings
+from ..codecs import encode_strings
+from ..codecs.core import encode_int_best, encode_int_best_with_stats
 from ..codecs.core import CODEC_IDS, codec_of, zunwrap, zwrap_best
 from .manifest import append_manifest, blobs_path, completed_parts
 
@@ -46,7 +47,8 @@ ENCODED_SCHEMA = "part_id int, tokens_blob binary, lengths_blob binary, docids_b
 
 META_SCHEMA = (
     "codec string, n_docs long, n_tokens long, raw_bytes long, "
-    "comp_bytes long, encode_s double, checksum long"
+    "comp_bytes long, encode_s double, checksum long, "
+    "n_distinct long, n_runs long, vmin long, vmax long"
 )
 
 
@@ -161,7 +163,8 @@ def _encode_blob_row(
     # per-column light codec first, then an optional DEFLATE entropy layer
     # where it still wins ≥2% (the reference's own layering: Parquet light
     # encodings + ZSTD on top)
-    tokens_blob = zwrap_best(encode_int_best(values))
+    raw_tokens_blob, tok_stats = encode_int_best_with_stats(values)
+    tokens_blob = zwrap_best(raw_tokens_blob)
     lengths_blob = zwrap_best(encode_int_best(lengths))
     docids_blob = zwrap_best(encode_strings(docids))
     sources_blob = zwrap_best(encode_strings(sources))
@@ -190,6 +193,12 @@ def _encode_blob_row(
             "comp_bytes": comp_bytes,
             "encode_s": round(time.perf_counter() - t0 + t_acc, 6),
             "checksum": checksum,
+            # the selector's inputs (north star: cardinality / run-length /
+            # value-range driven choice) — auditable per partition
+            "n_distinct": tok_stats["n_distinct"],
+            "n_runs": tok_stats["n_runs"],
+            "vmin": tok_stats["vmin"],
+            "vmax": tok_stats["vmax"],
         }
     )
     return {
@@ -346,6 +355,10 @@ def encode_token_table(
         "comp_bytes",
         "encode_s",
         "checksum",
+        "n_distinct",
+        "n_runs",
+        "vmin",
+        "vmax",
         F.lit("ok").alias("status"),
         F.current_timestamp().alias("finished_at"),
     )

@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = (
     "run_id string, snapshot_id string, part_id int, codec string, "
     "n_docs long, n_tokens long, raw_bytes long, comp_bytes long, "
-    "encode_s double, checksum long, status string, finished_at timestamp"
+    "encode_s double, checksum long, "
+    "n_distinct long, n_runs long, vmin long, vmax long, "
+    "status string, finished_at timestamp"
 )
 
 MANIFEST_COLS = [f.split(" ")[0] for f in MANIFEST_SCHEMA.split(", ")]

@@ -185,3 +185,16 @@ def test_append_mode_decodes_all_snapshots(spark, tmp_path):
     both = decode_token_table(spark, out, snapshots="all")
     v_both = verify_roundtrip(a.unionByName(b), both)
     assert v_both["ok"], v_both
+
+
+def test_manifest_records_selector_stats(spark, token_df, tmp_path):
+    """Per-partition selector inputs (cardinality / runs / value range)
+    land in the manifest for codec-choice auditability."""
+    out = str(tmp_path / "enc_stats")
+    encode_token_table(spark, token_df, out, target_tokens=10_000)
+    m = read_manifest(spark, out)
+    rows = m.collect()
+    for r in rows:
+        assert r["n_distinct"] > 0
+        assert r["n_runs"] > 0
+        assert 0 <= r["vmin"] <= r["vmax"] < 50257
