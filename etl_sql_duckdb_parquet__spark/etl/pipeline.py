@@ -1,0 +1,101 @@
+"""End-to-end ETL pipeline: ingest → validate → transform → load.
+
+The reference's 4-stage flow (``src/cli.py:31-99``) as one function over
+lazy DataFrames.  STRICT mode fails on any validation error; QUARANTINE
+mode splits flagged rows out and loads the clean remainder (the
+reference logs-and-continues, ``cli.py:76`` leaves the split as a TODO —
+here it is implemented).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import ingest_file
+from .load import write_parquet
+from .transform import dedup_keep_last
+from .validate import Rule, validate
+
+
+@dataclass
+class TableSpec:
+    """Per-table pipeline configuration."""
+
+    file: str
+    key: str | None = None  # dedup keep-last key
+    columns: dict[str, Column] = field(default_factory=dict)  # name → expr
+    rules: list[Rule] = field(default_factory=list)
+    fk: dict | None = None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    specs: dict[str, TableSpec],
+    mode: str = "strict",
+    ingested_at: str | None = None,
+) -> dict:
+    """Run the 4 stages for every table; returns per-table row counts.
+
+    ``mode='strict'``: any validation error raises.
+    ``mode='quarantine'``: rows whose key appears in the errors are
+    written to ``<out>/quarantine/<table>``; clean rows are loaded.
+    """
+    report: dict = {"mode": mode, "tables": {}}
+    staged: dict[str, DataFrame] = {}
+    for name, spec in specs.items():
+        raw = ingest_file(
+            spark, os.path.join(raw_dir, spec.file), ingested_at=ingested_at
+        )
+        cols = [expr.alias(col) for col, expr in spec.columns.items()]
+        typed = raw.select(*cols, "_ingest_order")
+        if spec.key:
+            typed = dedup_keep_last(typed, spec.key)
+        staged[name] = typed.drop("_ingest_order")
+
+    for name, spec in specs.items():
+        fk = {
+            col: staged[dim] if isinstance(dim, str) else dim
+            for col, dim in (spec.fk or {}).items()
+        }
+        errors = validate(staged[name], name, spec.rules, fk=fk)
+        n_err = errors.count()
+        df = staged[name]
+        if n_err and mode == "strict":
+            sample = [r.asDict() for r in errors.limit(5).collect()]
+            raise ValueError(
+                f"validation failed for {name}: {n_err} error rows; "
+                f"first: {sample}"
+            )
+        if n_err and mode == "quarantine" and spec.key:
+            bad_keys = (
+                errors.filter(F.col("column") == spec.key)
+                .select(F.col("value").alias(spec.key))
+                .distinct()
+            )
+            quarantined = df.join(
+                F.broadcast(bad_keys),
+                df[spec.key].cast("string") == bad_keys[spec.key],
+                "left_semi",
+            )
+            write_parquet(
+                quarantined, os.path.join(out_dir, "quarantine", name)
+            )
+            df = df.join(
+                F.broadcast(bad_keys),
+                df[spec.key].cast("string") == bad_keys[spec.key],
+                "left_anti",
+            )
+        write_parquet(df, os.path.join(out_dir, "curated", name))
+        report["tables"][name] = {
+            "rows_loaded": spark.read.parquet(
+                os.path.join(out_dir, "curated", name)
+            ).count(),
+            "n_validation_errors": n_err,
+        }
+    return report

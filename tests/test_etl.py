@@ -209,3 +209,38 @@ def test_ingest_dir_and_merge(spark, tmp_path):
     write_csv(merged.select("id", "x", "y"), out)
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 3 and set(back.columns) == {"id", "x", "y"}
+
+
+def test_run_pipeline_strict_and_quarantine(spark, dirty_path, tmp_path):
+    import os as _os
+
+    from etl_sql_duckdb_parquet__spark.etl.pipeline import TableSpec, run_pipeline
+    from etl_sql_duckdb_parquet__spark.etl.validate import in_range
+
+    spec = {
+        "samples": TableSpec(
+            file="samples.csv",
+            key="sample_id",
+            columns={
+                "sample_id": null_canonicalize("sample_id"),
+                "platform": null_canonicalize("platform"),
+                "q30_rate": safe_cast("q30_rate", "double"),
+                "reads": safe_cast("reads", "long"),
+            },
+            rules=[not_null("sample_id"), in_range("q30_rate", 0.0, 1.0)],
+        )
+    }
+    raw_dir = _os.path.dirname(dirty_path)
+    with pytest.raises(ValueError, match="validation failed"):
+        run_pipeline(spark, raw_dir, str(tmp_path / "strict"), spec,
+                     mode="strict", ingested_at="2026-01-01 00:00:00")
+
+    rep = run_pipeline(spark, raw_dir, str(tmp_path / "q"), spec,
+                       mode="quarantine", ingested_at="2026-01-01 00:00:00")
+    t = rep["tables"]["samples"]
+    assert t["n_validation_errors"] > 0
+    curated = spark.read.parquet(str(tmp_path / "q" / "curated" / "samples"))
+    # dedup keep-last leaves 5 keyed rows; quarantine removes none by key
+    # (errors are on q30_rate / null key, and null keys can't join) —
+    # strictly fewer than the 6 raw rows
+    assert 0 < curated.count() < 6
