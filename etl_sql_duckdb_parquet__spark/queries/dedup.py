@@ -134,9 +134,15 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    # verify candidates with exact Jaccard (inverted index restricted to
-    # candidate docs — at scale this touches only near-dup clusters)
-    sh = _shingles(docs)
+    # verify candidates with exact Jaccard over an inverted index
+    # semi-joined down to candidate docs only — the self-join below touches
+    # near-dup clusters, never the full corpus (the whole point of LSH)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs).join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -164,28 +170,34 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_batch(iterator):
-    """Vectorized SimHash kernel: per-batch numpy over word-hash bits."""
+    """Vectorized SimHash kernel: the whole Arrow batch is processed as ONE
+    concatenated word-hash bit matrix with per-document segment sums
+    (``np.add.reduceat``) — no per-document Python loop."""
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    weights = (np.uint64(1) << shifts.ravel()).astype(np.uint64)
     for pdf in iterator:
-        out_ids, out_sigs = [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            words = pd.Series(str(text).lower().split())
-            if len(words) == 0:
-                out_ids.append(doc_id)
-                out_sigs.append(0)
-                continue
-            hashes = pd.util.hash_array(words.to_numpy(dtype=object)).astype(
-                np.uint64
+        word_lists = pdf["text"].astype(str).str.lower().str.split()
+        lengths = word_lists.str.len().to_numpy(dtype=np.int64)
+        n_docs = len(pdf)
+        scores = np.zeros((n_docs, 64), dtype=np.int64)
+        nonempty = np.flatnonzero(lengths > 0)
+        if nonempty.size:
+            flat = np.concatenate(
+                [np.asarray(word_lists.iloc[i], dtype=object) for i in nonempty]
             )
-            bits = (
-                hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
-            ) & np.uint64(1)
-            score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in np.flatnonzero(score > 0):
-                sig |= np.uint64(1) << np.uint64(j)
-            out_ids.append(doc_id)
-            out_sigs.append(int(sig.astype(np.int64)))
-        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+            hashes = pd.util.hash_array(flat).astype(np.uint64)
+            bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            contrib = 2 * bits - 1
+            # segment boundaries of each non-empty doc in the flat array
+            starts = np.zeros(nonempty.size, dtype=np.int64)
+            starts[1:] = np.cumsum(lengths[nonempty])[:-1]
+            scores[nonempty] = np.add.reduceat(contrib, starts, axis=0)
+        sigs = ((scores > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "simhash": sigs.astype(np.int64)}
+        )
 
 
 def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

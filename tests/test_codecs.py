@@ -168,6 +168,33 @@ def test_fsst_compresses_ids():
     assert len(blob) < 0.6 * len(data), f"FSST ratio {len(blob)/len(data):.2f}"
 
 
+def test_fsst_throughput_vectorized():
+    """Regression guard for the vectorized kernels: 10 MB must compress in
+    seconds, not minutes (the old per-byte Python loop ran ~0.3-0.5 MB/s;
+    warm best-of-N on this host is ~6-8 MB/s compress, ~100 MB/s decompress).
+    Floors are set ~4x below warm speed — this sandbox's CPU is documented
+    to vary 3-10x run-to-run (CLAUDE.md)."""
+    import time
+
+    data = b"\x00".join(
+        f"web-crawl-{i % 500:04d}/doc_{i:08d}".encode() for i in range(400_000)
+    )[: 10 * 1024 * 1024]
+    mb = len(data) / 2**20
+    best_c = best_d = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        blob = encode_fsst(data)
+        t1 = time.time()
+        decoded, _ = decode_fsst(blob)
+        t2 = time.time()
+        assert decoded == data
+        best_c = min(best_c, t1 - t0)
+        best_d = min(best_d, t2 - t1)
+    assert mb / best_c > 1.5, f"compress {mb/best_c:.2f} MB/s"
+    assert mb / best_d > 15.0, f"decompress {mb/best_d:.2f} MB/s"
+    assert len(blob) < 0.5 * len(data)
+
+
 def test_fsst_table_respects_limits():
     table = build_table(FSST_CASES["urls"])
     assert len(table) <= 255
