@@ -580,7 +580,12 @@ def zunwrap(blob: bytes | memoryview) -> bytes:
 
         raw_len, zlen = struct.unpack_from("<QQ", buf, 1)
         inner = zlib.decompress(bytes(buf[17 : 17 + zlen]))
-        assert len(inner) == raw_len
+        if len(inner) != raw_len:
+            # explicit raise (not assert): the integrity check must survive
+            # python -O — a truncated blob must never decode silently
+            raise ValueError(
+                f"zwrap blob corrupt: inner {len(inner)} != header {raw_len}"
+            )
         return inner
     return bytes(buf)
 

@@ -50,7 +50,12 @@ def winning_blobs(
     after an input change never mixes partitions across snapshots.
     ``snapshots="all"``: additive/append mode — every snapshot's winning
     partitions are unioned (each ingest batch encoded as its own snapshot
-    concatenates, the Iceberg-append ingestion shape).
+    concatenates, the Iceberg-append ingestion shape).  Note the snapshot
+    id includes the encode plan parameters, so the SAME data re-encoded
+    under different ``target_tokens``/``by_source`` counts as two
+    snapshots here — use "latest" or an explicit id in that situation.
+    ``snapshots="snap_..."``: decode exactly that snapshot id (as recorded
+    in the manifest), pinning the choice independent of finish order.
     Within a snapshot, the winner per part_id is the latest OK run, so a
     resumed/re-run snapshot still dedupes exactly.
     """
@@ -64,9 +69,24 @@ def winning_blobs(
             .select("snapshot_id")
             .first()
         )
+        if latest is None:
+            raise ValueError(
+                f"manifest under {out_dir} has no status='ok' rows — "
+                "nothing to decode (all runs failed or were aborted)"
+            )
         ok = ok.filter(F.col("snapshot_id") == latest["snapshot_id"])
+    elif snapshots.startswith("snap_"):
+        ok = ok.filter(F.col("snapshot_id") == snapshots)
+        if ok.select("part_id").first() is None:
+            raise ValueError(
+                f"snapshot {snapshots!r} has no status='ok' manifest rows "
+                f"under {out_dir}"
+            )
     elif snapshots != "all":
-        raise ValueError(f"snapshots must be 'latest' or 'all': {snapshots!r}")
+        raise ValueError(
+            "snapshots must be 'latest', 'all', or an explicit "
+            f"'snap_...' id: {snapshots!r}"
+        )
     w = Window.partitionBy("snapshot_id", "part_id").orderBy(
         F.desc("finished_at"), F.desc("run_id")
     )

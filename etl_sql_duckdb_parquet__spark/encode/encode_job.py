@@ -286,8 +286,13 @@ def encode_token_table(
 ) -> dict:
     """Encode a (doc_id, tokens, n_tok, source) table; returns run stats."""
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
-    shares, snapshot_id = input_stats(df)
+    shares, data_snapshot = input_stats(df)
     planned, n_parts = plan_partitions(df, target_tokens, by_source, shares)
+    # The manifest key is (data fingerprint + plan parameters): part_ids are
+    # only comparable across runs when target_tokens/by_source match, so a
+    # re-run of the same data under a coarser/finer plan must NOT resume
+    # against (or union with) the old plan's partitions.
+    snapshot_id = f"{data_snapshot}-tt{target_tokens}{'s' if by_source else 'g'}"
 
     skipped = 0
     pending = planned
@@ -297,9 +302,10 @@ def encode_token_table(
             skipped = done.count()
             pending = planned.join(F.broadcast(done), "part_id", "left_anti")
 
-    # same snapshot ⇒ same plan, so "all planned parts already in the
-    # manifest" decides completion without evaluating `pending` (an
-    # isEmpty() here would cost an extra pass over the input)
+    # same snapshot id ⇒ same data AND same plan parameters ⇒ same plan, so
+    # "all planned parts already in the manifest" decides completion without
+    # evaluating `pending` (an isEmpty() here would cost an extra pass over
+    # the input)
     if skipped >= n_parts:
         return {
             "run_id": run_id,

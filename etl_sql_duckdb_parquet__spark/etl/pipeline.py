@@ -78,9 +78,12 @@ def run_pipeline(
                 .select(F.col("value").alias(spec.key))
                 .distinct()
             )
+            # null-safe compare: a row flagged because its key IS NULL must
+            # still match its own (NULL) error key, else it would leak into
+            # the curated load
             quarantined = df.join(
                 F.broadcast(bad_keys),
-                df[spec.key].cast("string") == bad_keys[spec.key],
+                df[spec.key].cast("string").eqNullSafe(bad_keys[spec.key]),
                 "left_semi",
             )
             write_parquet(
@@ -88,7 +91,7 @@ def run_pipeline(
             )
             df = df.join(
                 F.broadcast(bad_keys),
-                df[spec.key].cast("string") == bad_keys[spec.key],
+                df[spec.key].cast("string").eqNullSafe(bad_keys[spec.key]),
                 "left_anti",
             )
         write_parquet(df, os.path.join(out_dir, "curated", name))

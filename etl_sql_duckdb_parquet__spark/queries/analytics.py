@@ -44,7 +44,10 @@ def q02_top10_lowest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy(F.asc("acctbal"), F.asc("c_custkey"))
+        # NULLS LAST to match the DuckDB oracle's default ASC semantics —
+        # Spark's plain asc is NULLS FIRST, which would diverge on the
+        # LIMIT row set as soon as any acctbal is NULL
+        .orderBy(F.asc_nulls_last("acctbal"), F.asc("c_custkey"))
         .limit(10)
     )
 

@@ -25,7 +25,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q02_top10_lowest_acctbal": """
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         FROM customer
-        ORDER BY acctbal ASC, c_custkey ASC
+        ORDER BY acctbal ASC NULLS LAST, c_custkey ASC
         LIMIT 10
     """,
     "q03_lineitem_flag": """

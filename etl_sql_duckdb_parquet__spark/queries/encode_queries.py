@@ -60,11 +60,55 @@ def q50_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_RANK_PARTITIONS = 16
+
+
+def global_rank_ids(
+    df: DataFrame, col: str, n_parts: int = VOCAB_RANK_PARTITIONS
+) -> DataFrame:
+    """Distributed global dense ranking of the distinct values of ``col``
+    (1-based), WITHOUT an unpartitioned window.
+
+    Two-phase: range-partition the distinct values, rank within each range
+    partition, then shift by broadcast per-partition offsets.  The only
+    driver-side traffic is one count per range partition (metadata-sized);
+    the web-scale vocab itself never funnels through a single task.
+    """
+    spark = df.sparkSession
+    ranged = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(n_parts, col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_local_rank",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(col)),
+    )
+    local = local.cache()
+    counts = (
+        local.groupBy("_pid").agg(F.max("_local_rank").alias("cnt")).collect()
+    )
+    running = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], running))
+        running += row["cnt"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return local.join(F.broadcast(off_df), "_pid").select(
+        col,
+        (F.col("_off") + F.col("_local_rank")).cast("int").alias("token_id"),
+    )
+
+
 def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible tokenization: global vocab rank ids per word.
 
-    Exercises explode → distinct → window rank → join → re-aggregate; at
-    scale the vocab side is small (≤ vocab size) and broadcast.
+    Exercises explode → distinct → two-phase distributed ranking → join →
+    re-aggregate.  The ranking deliberately avoids the single-partition
+    ``Window.orderBy`` plan: vocab is unbounded over 100 TB of web text, so
+    ids come from per-range-partition row_numbers plus broadcast offsets
+    (see :func:`global_rank_ids`).
     """
     docs = t(spark, sf_dir, "documents")
     words = docs.select(
@@ -73,14 +117,7 @@ def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("word"),
     )
-    vocab = (
-        words.select("word")
-        .distinct()
-        .withColumn(
-            "token_id",
-            F.dense_rank().over(Window.orderBy("word")).cast("int"),
-        )
-    )
+    vocab = global_rank_ids(words, "word")
     return (
         words.join(F.broadcast(vocab), "word")
         .groupBy("doc_id")

@@ -168,6 +168,23 @@ def test_fsst_compresses_ids():
     assert len(blob) < 0.6 * len(data), f"FSST ratio {len(blob)/len(data):.2f}"
 
 
+def test_zunwrap_rejects_truncated_blob():
+    import struct
+    import zlib
+
+    from etl_sql_duckdb_parquet__spark.codecs.core import (
+        CODEC_ZWRAP,
+        zunwrap,
+    )
+
+    inner = b"payload-bytes" * 10
+    z = zlib.compress(inner)
+    # header lies: claims one byte more than the payload decompresses to
+    bad = struct.pack("<BQQ", CODEC_ZWRAP, len(inner) + 1, len(z)) + z
+    with pytest.raises(ValueError, match="zwrap blob corrupt"):
+        zunwrap(bad)
+
+
 def test_fsst_throughput_vectorized():
     """Regression guard for the vectorized kernels: 10 MB must compress in
     seconds, not minutes (the old per-byte Python loop ran ~0.3-0.5 MB/s;

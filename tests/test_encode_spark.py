@@ -95,6 +95,20 @@ def test_resume_skips_completed_partitions(spark, token_df, tmp_path):
     assert v["ok"], v
 
 
+def test_resume_ignores_other_plan_params(spark, token_df, tmp_path):
+    """Same data, different target_tokens => a DIFFERENT partition plan,
+    whose part_ids are incomparable with the first run's.  Resume must not
+    skip against the old plan, and decode (latest) must not union blobs
+    across the two plans."""
+    out = str(tmp_path / "enc_replan")
+    encode_token_table(spark, token_df, out, target_tokens=100_000)
+    second = encode_token_table(spark, token_df, out, target_tokens=5_000)
+    assert second["n_parts_skipped_resume"] == 0
+    assert second["n_parts_encoded"] == second["n_parts_planned"] > 1
+    v = verify_roundtrip(token_df, decode_token_table(spark, out))
+    assert v["ok"], v
+
+
 def test_resume_after_partial_failure(spark, token_df, tmp_path):
     """Simulate a crashed run: encode only half the partitions, then resume."""
     out = str(tmp_path / "enc_partial")

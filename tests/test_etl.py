@@ -240,7 +240,13 @@ def test_run_pipeline_strict_and_quarantine(spark, dirty_path, tmp_path):
     t = rep["tables"]["samples"]
     assert t["n_validation_errors"] > 0
     curated = spark.read.parquet(str(tmp_path / "q" / "curated" / "samples"))
-    # dedup keep-last leaves 5 keyed rows; quarantine removes none by key
-    # (errors are on q30_rate / null key, and null keys can't join) —
-    # strictly fewer than the 6 raw rows
-    assert 0 < curated.count() < 6
+    # dedup keep-last leaves 5 keyed rows; the NULL-key row (flagged by
+    # not_null on the key) is quarantined via the null-safe join, so the
+    # curated load holds the 4 keyed rows only
+    assert curated.count() == 4
+    assert curated.filter(F.col("sample_id").isNull()).count() == 0
+    quarantined = spark.read.parquet(
+        str(tmp_path / "q" / "quarantine" / "samples")
+    )
+    assert quarantined.count() == 1
+    assert quarantined.first()["sample_id"] is None
