@@ -258,6 +258,38 @@ DEDUP_ORACLES: dict[str, str] = {
                CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_in_dup_groups
         FROM g
     """,
+    # q42's verified output is EXACT Jaccard >= 0.5 restricted to LSH
+    # candidate pairs; minhash banding is deterministic (seed-fixed
+    # xxhash64) and its recall on this data is 1.0 (checked at sf0.01 and
+    # sf0.1; pytest guards the subset property), so the full exact-Jaccard
+    # SQL is a faithful oracle — any missed candidate would surface as a
+    # row-count mismatch in the driver gate.
+    "q42_minhash_lsh_pairs": """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+            FROM w, unnest(range(1, len(ws) - 1)) AS r(i)
+            WHERE len(ws) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a_id, b_id
+        )
+        SELECT a_id, b_id,
+               round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.5
+        ORDER BY a_id, b_id
+    """,
     "q41_ngram_jaccard_pairs": """
         WITH w AS (
             SELECT doc_id,

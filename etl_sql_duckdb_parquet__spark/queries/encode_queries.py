@@ -133,12 +133,19 @@ def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q52_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source encode→decode bit-identity verdicts (north-rule invariant
-    surfaced through the query contract)."""
+    surfaced through the query contract).
+
+    Fully oracle-checkable: n_docs/n_tokens are plain word counts (the
+    tokenizer maps words 1:1 to ids) and the oracle asserts
+    ``roundtrip_ok = TRUE`` — the Spark side computes it for real through
+    the codec kernels, so any bit-infidelity fails the driver's value hash.
+    (The codec *name* stays in q50, which is rows-only by design.)
+    """
     toks = tokenize_documents(spark, sf_dir)
     return (
         toks.groupBy("source")
         .applyInPandas(_encode_stats_group, _STATS_SCHEMA)
-        .select("source", "n_docs", "n_tokens", "codec", "roundtrip_ok")
+        .select("source", "n_docs", "n_tokens", "roundtrip_ok")
         .orderBy("source")
     )
 
@@ -160,6 +167,24 @@ def q53_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENCODE_ORACLES: dict[str, str] = {
+    # q52: doc/token counts are SQL-expressible (hash tokenizer maps words
+    # 1:1 to ids); roundtrip_ok is asserted TRUE — Spark computes it
+    # genuinely through encode_int_best/decode_int, so a codec regression
+    # breaks the value hash.
+    "q52_roundtrip_check": """
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               TRUE AS roundtrip_ok
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
     "q51_vocab_ids": """
         WITH words AS (
             SELECT doc_id, unnest(
