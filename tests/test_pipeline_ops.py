@@ -111,8 +111,9 @@ def test_sql_entry_point_over_views(spark):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark):
-    """IVF coarse-quantizer ANN (nprobe=3 of 10 cells) — measured recall
-    ≈0.5 on sf0.01; must stay well above the 0.3 random-probe floor."""
+    """IVF ANN with the √n spherical-k-means quantizer (multi-assignment
+    R=2, probe n_cells/3) — measured recall ≈0.86 on sf0.01; the floor
+    guards the ≥0.7 target on these weakly-clustered synthetic vectors."""
     from etl_sql_duckdb_parquet__spark.queries.similarity import (
         q54_ann_ivf_topk,
     )
@@ -127,4 +128,4 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     assert len(approx) == 50
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.3, f"IVF recall {recall} below floor"
+    assert recall >= 0.7, f"IVF recall {recall} below floor"
