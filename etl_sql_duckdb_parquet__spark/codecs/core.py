@@ -87,10 +87,13 @@ _BYTE_WIDTH_DTYPE = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}
 def pack_uint(vals: np.ndarray, width: int) -> bytes:
     """Pack non-negative uint64 values into ``width`` bits each (MSB first).
 
-    Fast paths: byte-multiple widths are raw big-endian truncation; the
-    general path round-trips through ``np.unpackbits``/``np.packbits`` on
-    only the ceil(width/8) significant bytes — all C loops, no per-value
-    Python.  Chunked to bound transient memory.
+    Fast paths: byte-multiple widths are raw big-endian truncation.  The
+    general path is pure word arithmetic — each value contributes its bits
+    to at most two 64-bit words (a shift pair), and because bit offsets are
+    monotonic the per-word OR-reduction is a single
+    ``np.bitwise_or.reduceat`` over contiguous segments.  No
+    ``unpackbits`` round-trip (8 bytes of transient per bit), no per-value
+    Python.
     """
     n = len(vals)
     if width == 0 or n == 0:
@@ -98,43 +101,54 @@ def pack_uint(vals: np.ndarray, width: int) -> bytes:
     vals = vals.astype(np.uint64, copy=False)
     if width in _BYTE_WIDTH_DTYPE:
         return vals.astype(_BYTE_WIDTH_DTYPE[width]).tobytes()
-    nb = (width + 7) // 8
-    pad = nb * 8 - width
-    parts = []
-    for i in range(0, n, _CHUNK):
-        chunk = vals[i : i + _CHUNK]
-        m = len(chunk)
-        # big-endian bytes, keep only the nb significant ones
-        be = chunk.astype(">u8").view(np.uint8).reshape(m, 8)[:, 8 - nb :]
-        bits = np.unpackbits(be, axis=1)  # m × nb*8, MSB first
-        parts.append(np.packbits(bits[:, pad:].ravel()).tobytes())
-    return b"".join(parts)
+    total_bits = n * width
+    n_words = (total_bits + 63) // 64
+    shifted = vals << np.uint64(64 - width)  # value bits at the top
+    start = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    k = (start >> np.uint64(6)).astype(np.int64)  # first word of value i
+    off = start & np.uint64(63)
+    left = shifted >> off
+    # spill into word k+1; the double shift == `<< (64-off)` but stays
+    # defined at off == 0 (single shifts of 64 are UB)
+    right = (shifted << np.uint64(1)) << (np.uint64(63) - off)
+
+    def _or_by_word(contrib: np.ndarray, word_idx: np.ndarray) -> np.ndarray:
+        # word_idx is nondecreasing, so each word's contributions are one
+        # contiguous run; reduceat over the first-occurrence boundaries
+        # ORs exactly those runs (no empty-segment quirks)
+        # +1 slot: the last value's (possibly zero) spill word may be
+        # n_words when it doesn't actually cross the final word boundary
+        out = np.zeros(n_words + 1, dtype=np.uint64)
+        starts = np.flatnonzero(np.diff(word_idx, prepend=-1))
+        seg = np.bitwise_or.reduceat(contrib, starts)
+        out[word_idx[starts]] = seg
+        return out[:n_words]
+
+    words = _or_by_word(left, k) | _or_by_word(right, k + 1)
+    nbytes = (total_bits + 7) // 8
+    return words.astype(">u8").tobytes()[:nbytes]
 
 
 def unpack_uint(buf: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_uint`; returns uint64 array of length ``n``."""
+    """Inverse of :func:`pack_uint`; returns uint64 array of length ``n``.
+
+    General widths read two 64-bit words per value and shift the bits out —
+    ~6 vector ops total, an order of magnitude faster than the previous
+    ``unpackbits``/``packbits`` round-trip.
+    """
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     if width in _BYTE_WIDTH_DTYPE:
         return np.frombuffer(buf, dtype=_BYTE_WIDTH_DTYPE[width]).astype(np.uint64)
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    out = np.empty(n, dtype=np.uint64)
-    nb = (width + 7) // 8
-    pad = nb * 8 - width
-    for i in range(0, n, _CHUNK):
-        m = min(_CHUNK, n - i)
-        bit_start = i * width  # multiple of 8: _CHUNK % 8 == 0
-        nbits = m * width
-        nbytes = (nbits + 7) // 8
-        chunk = raw[bit_start // 8 : bit_start // 8 + nbytes]
-        bits = np.unpackbits(chunk, count=nbits).reshape(m, width)
-        full = np.zeros((m, nb * 8), dtype=np.uint8)
-        full[:, pad:] = bits
-        be = np.packbits(full, axis=1)  # m × nb, big-endian
-        w8 = np.zeros((m, 8), dtype=np.uint8)
-        w8[:, 8 - nb :] = be
-        out[i : i + m] = w8.reshape(-1).view(">u8").astype(np.uint64)
-    return out
+    nbytes = (n * width + 7) // 8
+    padded = np.zeros((nbytes + 7) // 8 * 8 + 8, dtype=np.uint8)
+    padded[:nbytes] = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    words = padded.view(">u8").astype(np.uint64)  # native-endian copy
+    start = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    k = (start >> np.uint64(6)).astype(np.int64)
+    off = start & np.uint64(63)
+    x = (words[k] << off) | ((words[k + 1] >> np.uint64(1)) >> (np.uint64(63) - off))
+    return x >> np.uint64(64 - width)
 
 
 # ---------------------------------------------------------------------------

@@ -56,4 +56,35 @@ def manifest_report(spark: SparkSession, out_dir: str) -> str:
             f"{r['tokens']:,} | {r['raw']:,} | {r['comp']:,} | "
             f"{r['raw'] / max(r['comp'], 1):.2f}x | {r['cpu_s']} |"
         )
+    lines += _events_section(spark, out_dir)
     return "\n".join(lines) + "\n"
+
+
+def _events_section(spark: SparkSession, out_dir: str) -> list[str]:
+    """Stage-level event history (``<out>/events``), if present — the
+    reference's ``pipeline_events`` surface (ref ``src/history.py:39-52``)."""
+    from ..etl.history import read_events
+
+    ev = read_events(spark, out_dir)
+    if ev is None:
+        return []
+    rows = (
+        ev.filter(F.col("status") != "start")
+        .orderBy("ts", "table_name", "stage")
+        .limit(100)
+        .collect()
+    )
+    lines = [
+        "",
+        "## Stage events",
+        "",
+        "| run | table | stage | status | rows | s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['run_id']} | {r['table_name']} | {r['stage']} | "
+            f"{r['status']} | {r['n_rows'] if r['n_rows'] is not None else ''} | "
+            f"{r['duration_s'] if r['duration_s'] is not None else ''} |"
+        )
+    return lines

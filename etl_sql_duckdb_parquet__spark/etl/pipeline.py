@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .history import EventLog
 from .ingest import ingest_file
 from .load import write_parquet
 from .transform import dedup_keep_last
@@ -45,29 +46,68 @@ def run_pipeline(
     ``mode='strict'``: any validation error raises.
     ``mode='quarantine'``: rows whose key appears in the errors are
     written to ``<out>/quarantine/<table>``; clean rows are loaded.
+
+    Every stage (ingest/transform/validate/load, per table) is recorded in
+    the ``<out>/events`` Parquet table (see :mod:`.history` — the
+    reference's ``pipeline_events`` audit trail), including an error event
+    when a strict-mode run aborts.
     """
     report: dict = {"mode": mode, "tables": {}}
+    events = EventLog(spark, out_dir)
+    report["run_id"] = events.run_id
+    try:
+        _run_stages(
+            spark, raw_dir, out_dir, specs, mode, ingested_at, report, events
+        )
+        events.end("_run", "pipeline", "ok", message=mode)
+    except Exception as exc:  # record the failure, then re-raise
+        events.end("_run", "pipeline", "error", message=str(exc)[:500])
+        raise
+    finally:
+        events.flush()
+    return report
+
+
+def _run_stages(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    specs: dict[str, TableSpec],
+    mode: str,
+    ingested_at: str | None,
+    report: dict,
+    events: EventLog,
+) -> None:
+    events.start("_run", "pipeline")
     staged: dict[str, DataFrame] = {}
     for name, spec in specs.items():
+        events.start(name, "ingest")
         raw = ingest_file(
             spark, os.path.join(raw_dir, spec.file), ingested_at=ingested_at
         )
+        events.end(name, "ingest")
+        events.start(name, "transform")
         cols = [expr.alias(col) for col, expr in spec.columns.items()]
         typed = raw.select(*cols, "_ingest_order")
         if spec.key:
             typed = dedup_keep_last(typed, spec.key)
         staged[name] = typed.drop("_ingest_order")
+        events.end(name, "transform")
 
     for name, spec in specs.items():
         fk = {
             col: staged[dim] if isinstance(dim, str) else dim
             for col, dim in (spec.fk or {}).items()
         }
+        events.start(name, "validate")
         errors = validate(staged[name], name, spec.rules, fk=fk)
         n_err = errors.count()
+        events.end(name, "validate", n_rows=n_err)
         df = staged[name]
+        events.start(name, "load")
         if n_err and mode == "strict":
             sample = [r.asDict() for r in errors.limit(5).collect()]
+            events.end(name, "load", "error", message="strict-mode abort")
             raise ValueError(
                 f"validation failed for {name}: {n_err} error rows; "
                 f"first: {sample}"
@@ -95,10 +135,11 @@ def run_pipeline(
                 "left_anti",
             )
         write_parquet(df, os.path.join(out_dir, "curated", name))
+        rows_loaded = spark.read.parquet(
+            os.path.join(out_dir, "curated", name)
+        ).count()
+        events.end(name, "load", n_rows=rows_loaded)
         report["tables"][name] = {
-            "rows_loaded": spark.read.parquet(
-                os.path.join(out_dir, "curated", name)
-            ).count(),
+            "rows_loaded": rows_loaded,
             "n_validation_errors": n_err,
         }
-    return report

@@ -1,0 +1,296 @@
+"""Per-query format benchmark: raw CSV vs Parquet/ZSTD vs our blobs.
+
+Re-expresses the reference's signature deliverable (reference
+``src/benchmarks.py:21-144``: median-of-3 per-query timing on CSV vs
+Parquet with a speedup column and a markdown report, regression-tested by
+``test_benchmark_fixes.py:16-106``) Spark-first:
+
+- the same DataFrame query runs against the same table materialized as
+  raw CSV, as Parquet/ZSTD (the reference's output format), and — for the
+  token table — as our encoded blobs through the decode path;
+- timings are median-of-N actions (the host CPU is noisy, see CLAUDE.md);
+- the report carries file sizes, per-query times, and speedup columns.
+
+The CSV leg deliberately reads with schema inference off and an explicit
+schema (one pass, like the reference's ``pd.read_csv``); the Parquet legs
+exercise column pruning/predicate pushdown, which is the point of the
+comparison.  If the blob store is absent the blob column degrades to
+"N/A" instead of failing (the reference fixed the same crash for missing
+Parquet).
+
+Run: ``python -m etl_sql_duckdb_parquet__spark.format_bench
+--sf-dir /root/testdata/sf0.1 --out FORMAT_BENCH.md``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id string, text string, lang string, source string, n_chars long"
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _replicate(df: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Deterministically inflate a table n-fold (distinct ids per copy) so
+    scan costs dominate fixed job overhead at small SF."""
+    if n <= 1:
+        return df
+    rep = df.sparkSession.range(n).select(F.col("id").alias("_rep"))
+    return (
+        df.crossJoin(F.broadcast(rep))
+        .withColumn(
+            id_col,
+            F.concat(F.col(id_col).cast("string"), F.lit("_r"), F.col("_rep")),
+        )
+        .drop("_rep")
+    )
+
+
+def prepare_formats(
+    spark: SparkSession, sf_dir: str, work_dir: str, replicate: int = 1
+) -> dict:
+    """Materialize the documents table as CSV and Parquet/ZSTD, and the
+    token table as Parquet/ZSTD + our encoded blobs.  Returns paths.
+
+    ``replicate`` inflates both tables n-fold for the TIMING comparison —
+    at sf0.1 the raw tables are ~1 MB, where per-job overhead swamps every
+    scan and the format comparison measures nothing.  File SIZES are
+    always reported from unreplicated (base-scale) artifacts: n identical
+    copies are free lunch for ZSTD and would fake the compression column.
+    """
+    from .encode.encode_job import encode_token_table
+    from .encode.synth import tokenize_documents
+
+    base_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).withColumn("doc_id", F.col("doc_id").cast("string"))
+    docs = _replicate(base_docs, replicate, "doc_id")
+    paths = {
+        "docs_csv": os.path.join(work_dir, "docs_csv"),
+        "docs_parquet": os.path.join(work_dir, "docs_parquet"),
+        "tokens_parquet": os.path.join(work_dir, "tokens_parquet"),
+        "blobs": os.path.join(work_dir, "blobs"),
+    }
+
+    def _write(docs_df, toks_df, p):
+        (
+            docs_df.coalesce(4)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(p["docs_csv"])
+        )
+        (
+            docs_df.coalesce(4)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(p["docs_parquet"])
+        )
+        (
+            toks_df.coalesce(4)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(p["tokens_parquet"])
+        )
+        encode_token_table(spark, toks_df, p["blobs"], resume=False)
+
+    base_toks = tokenize_documents(spark, sf_dir)
+    _write(docs, _replicate(base_toks, replicate, "doc_id"), paths)
+    if replicate > 1:
+        base_paths = {
+            k: os.path.join(work_dir, "base", os.path.basename(v))
+            for k, v in paths.items()
+        }
+        _write(base_docs, base_toks, base_paths)
+        paths = {**paths, **{f"size_{k}": v for k, v in base_paths.items()}}
+    else:
+        paths = {**paths, **{f"size_{k}": v for k, v in paths.items()}}
+    return paths
+
+
+def _read_docs_csv(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .schema(DOC_SCHEMA)
+        .csv(path)
+    )
+
+
+DOC_QUERIES = {
+    "filter_count": lambda df: df.filter(F.col("lang") == "en").agg(
+        F.count("*").alias("n")
+    ),
+    "group_by_source": lambda df: df.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("text")).alias("avg_len"),
+    ),
+    "top10_longest": lambda df: df.select(
+        "doc_id", F.length("text").alias("len")
+    )
+    .orderBy(F.desc("len"), "doc_id")
+    .limit(10),
+    "projection_sum": lambda df: df.agg(
+        F.sum(F.length("text")).alias("total_chars")
+    ),
+}
+
+TOKEN_QUERIES = {
+    "token_mass": lambda df: df.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    ),
+    "longest_docs": lambda df: df.select("doc_id", "n_tok")
+    .orderBy(F.desc("n_tok"), "doc_id")
+    .limit(10),
+}
+
+
+def _median_time(make_df, iterations: int) -> float:
+    times = []
+    for _ in range(iterations):
+        t0 = time.time()
+        make_df().collect()
+        times.append((time.time() - t0) * 1000.0)
+    return sorted(times)[len(times) // 2]
+
+
+def run_format_benchmark(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    iterations: int = 3,
+    prepared: dict | None = None,
+    replicate: int = 1,
+) -> str:
+    """Run the suite; returns the markdown report."""
+    from .encode.decode_job import decode_token_table
+
+    paths = prepared or prepare_formats(spark, sf_dir, work_dir, replicate)
+
+    sizes = {k: _dir_bytes(p) if os.path.isdir(p) else 0 for k, p in paths.items()}
+    doc_rows = []
+    for name, q in DOC_QUERIES.items():
+        csv_ms = _median_time(
+            lambda: q(_read_docs_csv(spark, paths["docs_csv"])), iterations
+        )
+        pq_ms = _median_time(
+            lambda: q(spark.read.parquet(paths["docs_parquet"])), iterations
+        )
+        doc_rows.append((name, csv_ms, pq_ms, csv_ms / pq_ms))
+
+    blobs_ok = os.path.isdir(os.path.join(paths["blobs"], "manifest"))
+    tok_rows = []
+    for name, q in TOKEN_QUERIES.items():
+        pq_ms = _median_time(
+            lambda: q(spark.read.parquet(paths["tokens_parquet"])), iterations
+        )
+        if blobs_ok:
+            blob_ms = _median_time(
+                lambda: q(decode_token_table(spark, paths["blobs"])),
+                iterations,
+            )
+            tok_rows.append((name, pq_ms, blob_ms, pq_ms / blob_ms))
+        else:
+            tok_rows.append((name, pq_ms, None, None))
+
+    mb = 1024 * 1024
+    csv_mb = sizes.get("size_docs_csv", 0) / mb
+    pq_mb = sizes.get("size_docs_parquet", 0) / mb
+    blob_mb = sizes.get("size_blobs", 0) / mb if blobs_ok else 0.0
+    tokpq_mb = sizes.get("size_tokens_parquet", 0) / mb
+    lines = [
+        "# Format benchmark: CSV vs Parquet/ZSTD vs encoded blobs",
+        "",
+        f"Input: `{sf_dir}` — median of {iterations} runs per query "
+        "(single Spark session; absolute times include job overhead, the "
+        "ratio column is the signal on a noisy host).",
+        "",
+        "## File sizes (base scale — replicated copies would fake the "
+        "compression column)",
+        "",
+        "| Format | Size (MB) |",
+        "|---|---|",
+        f"| documents CSV | {csv_mb:.2f} |",
+        f"| documents Parquet/ZSTD | {pq_mb:.2f} |",
+        f"| CSV / Parquet ratio | "
+        f"{(csv_mb / pq_mb):.2f}x |" if pq_mb else "| CSV / Parquet | N/A |",
+        f"| token table Parquet/ZSTD | {tokpq_mb:.2f} |",
+        f"| token table encoded blobs | "
+        + (f"{blob_mb:.2f} |" if blobs_ok else "N/A |"),
+        "",
+        "## Documents table: CSV vs Parquet/ZSTD",
+        "",
+        f"| Query | CSV (ms) | Parquet (ms) | Speedup |",
+        "|---|---|---|---|",
+    ]
+    for name, c, p, s in doc_rows:
+        lines.append(f"| {name} | {c:.0f} | {p:.0f} | {s:.1f}x |")
+    lines += [
+        "",
+        "## Token table: Parquet/ZSTD vs encoded blobs (decode path)",
+        "",
+        "| Query | Parquet (ms) | Blobs (ms) | Parquet/Blobs |",
+        "|---|---|---|---|",
+    ]
+    for name, p, b, s in tok_rows:
+        b_txt = f"{b:.0f}" if b is not None else "N/A"
+        s_txt = f"{s:.2f}x" if s is not None else "N/A"
+        lines.append(f"| {name} | {p:.0f} | {b_txt} | {s_txt} |")
+    lines += [
+        "",
+        "## Notes",
+        "",
+        "- Parquet reads only the projected columns and pushes filters to "
+        "the scan; the CSV leg parses every byte of every row.",
+        "- The blob leg decodes full token arrays through the codec "
+        "kernels, so metadata-only queries favor Parquet; the blob "
+        "format's win is storage footprint plus bit-identical token "
+        "delivery (see BENCH `sfdir_size_vs_reference`).",
+        "- Medians, not means: this host's CPU varies 3-10x run-to-run.",
+        "- The CSV leg reads with `multiLine` (documents contain "
+        "newlines), which makes each CSV file non-splittable — a real "
+        "CSV-at-scale limitation the columnar formats don't have.",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--work-dir", default="/tmp/format_bench")
+    ap.add_argument("--out", default="FORMAT_BENCH.md")
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--replicate", type=int, default=50)
+    args = ap.parse_args()
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    report = run_format_benchmark(
+        spark,
+        args.sf_dir,
+        args.work_dir,
+        args.iterations,
+        replicate=args.replicate,
+    )
+    with open(args.out, "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

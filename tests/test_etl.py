@@ -250,3 +250,28 @@ def test_run_pipeline_strict_and_quarantine(spark, dirty_path, tmp_path):
     )
     assert quarantined.count() == 1
     assert quarantined.first()["sample_id"] is None
+
+    # per-stage event history (reference pipeline_events): the quarantine
+    # run logs every stage ok, the strict run logs an error event
+    from etl_sql_duckdb_parquet__spark.etl.history import read_events
+
+    ev = read_events(spark, str(tmp_path / "q"))
+    assert ev is not None
+    done = {
+        (r["stage"], r["status"])
+        for r in ev.filter(F.col("table_name") == "samples").collect()
+    }
+    assert {("ingest", "ok"), ("transform", "ok"), ("validate", "ok"),
+            ("load", "ok")} <= done
+    run_row = ev.filter(
+        (F.col("table_name") == "_run") & (F.col("status") == "ok")
+    ).first()
+    assert run_row is not None and run_row["stage"] == "pipeline"
+    validate_ev = ev.filter(
+        (F.col("stage") == "validate") & (F.col("status") == "ok")
+    ).first()
+    assert validate_ev["n_rows"] == rep["tables"]["samples"]["n_validation_errors"]
+
+    ev_strict = read_events(spark, str(tmp_path / "strict"))
+    assert ev_strict is not None
+    assert ev_strict.filter(F.col("status") == "error").count() >= 1

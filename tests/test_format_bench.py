@@ -1,0 +1,64 @@
+"""Regression tests for the format-comparison benchmark report, in the
+spirit of the reference's ``test_benchmark_fixes.py:16-106`` (report has
+its sections, survives a missing compressed artifact, no div-by-zero)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_sql_duckdb_parquet__spark.format_bench import (
+    prepare_formats,
+    run_format_benchmark,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("fmt"))
+    return work, prepare_formats(spark, SF_DIR, work)
+
+
+def test_report_sections_and_speedups(spark, prepared):
+    work, paths = prepared
+    report = run_format_benchmark(
+        spark, SF_DIR, work, iterations=1, prepared=paths
+    )
+    assert "## File sizes" in report
+    assert "## Documents table: CSV vs Parquet/ZSTD" in report
+    assert "## Token table: Parquet/ZSTD vs encoded blobs" in report
+    # every doc query row carries a parsable speedup figure
+    rows = re.findall(r"\| (\w+) \| \d+ \| \d+ \| ([\d.]+)x \|", report)
+    assert len(rows) >= 4, report
+    # CSV on parquet-sized data must never be *faster* across the board
+    speedups = [float(s) for _n, s in rows]
+    assert max(speedups) > 0.5
+
+
+def test_report_handles_missing_blobs(spark, tmp_path):
+    """Blob store absent => N/A cells, not a crash (the reference fixed
+    the same failure mode for a missing Parquet file)."""
+    work, paths = str(tmp_path), None
+    import os
+
+    from etl_sql_duckdb_parquet__spark.format_bench import (
+        DOC_QUERIES,
+    )
+
+    paths = prepare_formats(spark, SF_DIR, work)
+    # simulate a run where encode never happened
+    import shutil
+
+    shutil.rmtree(os.path.join(paths["blobs"], "manifest"))
+    report = run_format_benchmark(
+        spark, SF_DIR, work, iterations=1, prepared=paths
+    )
+    assert "## Token table" in report
+    # both token-query rows degrade to N/A cells
+    assert report.count("| N/A | N/A |") == 2
+    # the documents comparison still ran in full
+    rows = re.findall(r"\| (\w+) \| \d+ \| \d+ \| ([\d.]+)x \|", report)
+    assert len(rows) == len(DOC_QUERIES)
