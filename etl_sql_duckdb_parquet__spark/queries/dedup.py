@@ -89,9 +89,17 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, m0..m{n-1}) MinHash signature columns, all JVM-side."""
-    sh = _shingles(docs)
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}) MinHash signature columns, all JVM-side.
+
+    ``shingles``: pass a (cached) pre-computed shingle set to avoid
+    re-running the regexp shingling when the caller needs it too.
+    """
+    sh = _shingles(docs) if shingles is None else shingles
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"m{i}")
         for i in range(n_hashes)
@@ -106,7 +114,9 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against q41's exact answer at the same threshold.
     """
     docs = t(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # one shingling pass feeds BOTH the signatures and the verify step
+    sh = _shingles(docs).cache()
+    sig = minhash_signatures(docs, shingles=sh)
     n_bands = N_MINHASH // LSH_ROWS_PER_BAND
     bands = F.array(
         *[
@@ -142,10 +152,10 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(docs).join(cand_ids, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_cand.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh_cand.select(F.col("doc_id").alias("b_id"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
