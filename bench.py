@@ -94,7 +94,11 @@ def main() -> None:
     # --- headline: encode pipeline on the sf-dir documents table
     work = tempfile.mkdtemp(prefix="bench_enc_")
     try:
-        df = tokenize_documents(spark, sf_dir)
+        # materialize the tokenized input before timing: encode makes two
+        # passes (stats + encode), and re-running the tokenizer inside the
+        # timed region would measure generation, not the encode engine
+        df = tokenize_documents(spark, sf_dir).cache()
+        df.count()
         enc_s, dec_s = float("inf"), float("inf")
         for rep in range(repeats):
             rep_dir = os.path.join(work, f"rep{rep}")
@@ -126,13 +130,15 @@ def main() -> None:
         extra["sfdir_size_vs_reference"] = round(
             extra["sfdir_blob_bytes"] / extra["sfdir_reference_zstd_bytes"], 4
         )
+        df.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
     # --- headline: CPU-bound synthetic encode (fixed size, seed-fixed)
     work = tempfile.mkdtemp(prefix="bench_synth_")
     try:
-        sdf = synth_token_table(spark, SYNTH_DOCS)
+        sdf = synth_token_table(spark, SYNTH_DOCS).cache()
+        sdf.count()
         enc_s = float("inf")
         for rep in range(repeats):
             rep_dir = os.path.join(work, f"rep{rep}")
@@ -145,6 +151,7 @@ def main() -> None:
         extra["synth_compression_ratio"] = round(
             stats["raw_bytes"] / stats["comp_bytes"], 4
         )
+        sdf.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
