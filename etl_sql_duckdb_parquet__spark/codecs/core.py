@@ -49,6 +49,7 @@ CODEC_VARINT = 9  # zigzag + LEB128 (skewed magnitude distributions)
 CODEC_VARDICT = 10  # frequency-ordered dictionary + LEB128 rank codes
 CODEC_FORBLOCK = 11  # FOR with per-miniblock bit widths (locally clustered)
 CODEC_ZWRAP = 13  # DEFLATE entropy layer over any other blob (when it wins)
+CODEC_ZSTD = 14  # ZSTD entropy layer (preferred; DEFLATE kept for old blobs)
 
 CODEC_NAMES = {
     CODEC_PLAIN: "plain",
@@ -64,6 +65,7 @@ CODEC_NAMES = {
     CODEC_VARDICT: "vardict",
     CODEC_FORBLOCK: "forblock",
     CODEC_ZWRAP: "zwrap",
+    CODEC_ZSTD: "zstd",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -567,17 +569,37 @@ def encode_int_best_with_stats(
 # ---------------------------------------------------------------------------
 
 
+def _zstd_codec():
+    """pyarrow's bundled ZSTD codec, or None when this build lacks it."""
+    try:
+        import pyarrow as pa
+
+        if pa.lib.Codec.is_available("zstd"):
+            return pa
+    except Exception:
+        pass
+    return None
+
+
 def zwrap_best(blob: bytes, level: int = 6, min_ratio: float = 0.98) -> bytes:
-    """Optionally add a DEFLATE entropy layer on top of a finished blob.
+    """Optionally add an entropy layer on top of a finished blob.
 
     Bit-packed/dictionary output still carries residual entropy skew that a
     general-purpose entropy coder captures (the same layering the reference
     relies on: Parquet's light encodings + ZSTD on top, reference
-    ``docs/benchmark_results.md:72-77``).  Applied only when it wins by
-    ≥2%, so incompressible blobs pay one compress attempt and nothing else.
-    Works over ANY blob (integer or string containers) — decoders dispatch
-    on the leading codec id.
+    ``docs/benchmark_results.md:72-77``).  ZSTD (via pyarrow's bundled
+    codec) is preferred — measurably smaller AND faster than DEFLATE on
+    these blobs; DEFLATE is the fallback when pyarrow lacks zstd.  Applied
+    only when it wins by ≥2%, so incompressible blobs pay one compress
+    attempt and nothing else.  Works over ANY blob (integer or string
+    containers) — decoders dispatch on the leading codec id.
     """
+    pa = _zstd_codec()
+    if pa is not None:
+        z = bytes(pa.compress(blob, codec="zstd"))
+        if len(z) + 17 < min_ratio * len(blob):
+            return struct.pack("<BQQ", CODEC_ZSTD, len(blob), len(z)) + z
+        return blob
     import zlib
 
     z = zlib.compress(blob, level)
@@ -587,13 +609,22 @@ def zwrap_best(blob: bytes, level: int = 6, min_ratio: float = 0.98) -> bytes:
 
 
 def zunwrap(blob: bytes | memoryview) -> bytes:
-    """Remove the DEFLATE layer if present; returns the inner blob."""
+    """Remove the entropy layer (ZSTD or DEFLATE) if present."""
     buf = memoryview(blob)
-    if len(buf) and buf[0] == CODEC_ZWRAP:
-        import zlib
-
+    if len(buf) and buf[0] in (CODEC_ZWRAP, CODEC_ZSTD):
         raw_len, zlen = struct.unpack_from("<QQ", buf, 1)
-        inner = zlib.decompress(bytes(buf[17 : 17 + zlen]))
+        payload = bytes(buf[17 : 17 + zlen])
+        if buf[0] == CODEC_ZSTD:
+            pa = _zstd_codec()
+            if pa is None:
+                raise ValueError("zstd blob but pyarrow zstd codec unavailable")
+            inner = bytes(
+                pa.decompress(payload, decompressed_size=raw_len, codec="zstd")
+            )
+        else:
+            import zlib
+
+            inner = zlib.decompress(payload)
         if len(inner) != raw_len:
             # explicit raise (not assert): the integrity check must survive
             # python -O — a truncated blob must never decode silently

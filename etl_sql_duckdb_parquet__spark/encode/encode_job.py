@@ -182,7 +182,7 @@ def _encode_blob_row(
         & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
     )
     inner_codec = codec_of(zunwrap(tokens_blob))
-    if tokens_blob and tokens_blob[0] == CODEC_IDS["zwrap"]:
+    if tokens_blob and tokens_blob[0] in (CODEC_IDS["zwrap"], CODEC_IDS["zstd"]):
         inner_codec += "+z"
     meta = json.dumps(
         {

@@ -1,9 +1,9 @@
 """Similarity search over the ``embeddings`` table.
 
 - q44/q45: brute-force cosine (exact baseline) — cross-join, dot product
-  computed with ``zip_with``/``aggregate`` entirely JVM-side in double
-  precision so the DuckDB oracle (same fold order, same casts) matches
-  bit-for-bit before rounding.
+  unrolled over the fixed dim entirely JVM-side (whole-stage codegen) in
+  double precision so the DuckDB oracle (same fold order, same casts)
+  matches bit-for-bit before rounding.
 - q46: LSH-bucketed ANN (the scale path) — deterministic random-hyperplane
   signs bucket the vectors; only same-bucket pairs are scored.  At 10^9
   vectors the bucket join replaces the O(n²) cross-join; recall is traded
@@ -24,15 +24,16 @@ _N_TABLES = 8  # OR-amplification: candidate if ANY table buckets a pair togethe
 _K_PLANES = 4  # AND within a table: k sign bits per bucket id
 _SEED = 42
 
-_DOT = (
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-    "(acc, v) -> acc + v)"
-)
+# Dot products / norms are UNROLLED over the fixed dim instead of
+# aggregate(zip_with(...)): Catalyst evaluates higher-order-function
+# lambdas interpreted (outside whole-stage codegen), which dominated the
+# brute-force queries; the unrolled sum is pure codegen.  Bit-identity
+# with the old fold (and the DuckDB oracle's list_dot_product, same
+# left-to-right order) is preserved: the fold's seed step 0.0+x0 == x0
+# and both shapes associate ((x0+x1)+x2)+... in IEEE doubles.
+_DOT = " + ".join(f"va[{i}] * vb[{i}]" for i in range(_DIM))
 _TO_DOUBLE = "transform(embedding, x -> CAST(x AS DOUBLE))"
-_NORM = (
-    "sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
-    "(acc, y) -> acc + y))"
-)
+_NORM = "sqrt(" + " + ".join(f"v[{i}] * v[{i}]" for i in range(_DIM)) + ")"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,10 +106,33 @@ def lsh_plane_literals(
 
 
 def _plane_dot(plane: list) -> F.Column:
-    arr = ",".join(str(float(x)) for x in plane)
-    return F.expr(
-        f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+    # ±1 coefficients → unrolled signed sum (codegen; no interpreted HOF)
+    terms = [
+        (f"v[{i}]" if x > 0 else f"(- v[{i}])") for i, x in enumerate(plane)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def _lsh_bucketed(v: DataFrame) -> DataFrame:
+    """Explode each vector into its (table_idx, bucket) LSH cells.
+
+    L hash tables (OR) of k sign-bit planes (AND) — the standard
+    recall/cost amplification shared by the ANN top-k (q46) and the
+    embedding near-dup pass (q55)."""
+    buckets = []
+    for planes in lsh_plane_literals():
+        bucket = None
+        for p, plane in enumerate(planes):
+            bit = F.when(_plane_dot(plane) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(bucket.cast("int"))
+    return v.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
     )
 
 
@@ -122,23 +146,7 @@ def q46_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check (approximate by construction); pytest measures
     recall against the brute-force top-k.
     """
-    v = _vectors(spark, sf_dir)
-    tables = lsh_plane_literals()
-    buckets = []
-    for planes in tables:
-        bucket = None
-        for p, plane in enumerate(planes):
-            bit = F.when(_plane_dot(plane) >= 0, F.lit(1 << p)).otherwise(
-                F.lit(0)
-            )
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(bucket.cast("int"))
-    bucketed = v.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
-    )
+    bucketed = _lsh_bucketed(_vectors(spark, sf_dir))
     qa = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("va"),
@@ -271,6 +279,54 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
         .orderBy("label")
+    )
+
+
+NEARDUP_COS = 0.40  # τ tuned to the synthetic embedding distribution
+
+
+def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidates + exact verify.
+
+    The dedup variant of the ANN machinery: every vector is bucketed in L
+    sign-plane tables (see :func:`_lsh_bucketed`), same-bucket pairs are
+    the candidates, and each candidate is verified with the exact cosine
+    before being reported as a near-dup (cosine ≥ τ).  Precision is 1.0 by
+    construction — every reported pair really clears τ; recall is the LSH
+    recall, measured in pytest against the brute-force pair set.  At 10^9
+    vectors the bucket join is the only pair generator — no cross-join
+    anywhere (reference capability: duplicate detection, its
+    ``sql/queries.sql`` exact-dup query; this is the embedding-space
+    analogue for training-data curation).  Rows-only driver check
+    (approximate by construction).
+    """
+    bucketed = _lsh_bucketed(_vectors(spark, sf_dir))
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "table_idx",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "table_idx",
+        "bucket",
+    )
+    return (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            (F.expr(_DOT) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
     )
 
 

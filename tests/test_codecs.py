@@ -281,6 +281,7 @@ def test_zwrap_roundtrip_and_gate():
     import numpy as np
 
     from etl_sql_duckdb_parquet__spark.codecs.core import (
+        CODEC_ZSTD,
         CODEC_ZWRAP,
         decode_int,
         encode_int_best,
@@ -290,16 +291,38 @@ def test_zwrap_roundtrip_and_gate():
 
     rng = np.random.default_rng(3)
     # skewed data: light codec leaves entropy → zwrap should engage
+    # (ZSTD when pyarrow provides it, DEFLATE fallback otherwise)
     x = np.floor(50257 * rng.random(200_000) ** 3).astype(np.int64)
     blob = encode_int_best(x)
     wrapped = zwrap_best(blob)
-    assert wrapped[0] == CODEC_ZWRAP and len(wrapped) < len(blob)
+    assert wrapped[0] in (CODEC_ZSTD, CODEC_ZWRAP) and len(wrapped) < len(blob)
     assert zunwrap(wrapped) == blob
     assert np.array_equal(decode_int(wrapped), x)
     # incompressible-ish data: gate must refuse (blob returned unchanged)
     y = rng.integers(0, 2**31, 50_000).astype(np.int64)
     blob_y = encode_int_best(y)
     assert np.array_equal(decode_int(zwrap_best(blob_y)), y)
+
+
+def test_zwrap_legacy_deflate_blobs_still_decode():
+    """Blobs written by the round-1 DEFLATE wrap must keep decoding after
+    the switch to ZSTD (manifest resume can mix blob generations)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__spark.codecs.core import (
+        CODEC_ZWRAP,
+        decode_int,
+        encode_int_best,
+    )
+
+    x = np.arange(10_000, dtype=np.int64) % 97
+    inner = encode_int_best(x)
+    z = zlib.compress(inner, 6)
+    legacy = struct.pack("<BQQ", CODEC_ZWRAP, len(inner), len(z)) + z
+    assert np.array_equal(decode_int(legacy), x)
 
 
 def test_zwrap_strings_dispatch():

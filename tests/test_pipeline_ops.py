@@ -23,8 +23,10 @@ from etl_sql_duckdb_parquet__spark.queries.multimodal import (  # noqa: E402
     q47_media_metadata,
 )
 from etl_sql_duckdb_parquet__spark.queries.similarity import (  # noqa: E402
+    NEARDUP_COS,
     q45_cosine_topk,
     q46_ann_lsh_topk,
+    q55_embedding_neardup,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
@@ -72,6 +74,45 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"ANN recall {recall} suspiciously low"
     # approximate results must still be real vectors, ranked 1..<=5 per query
     assert all(q < 10 for q, _ in approx)
+
+
+def test_embedding_neardup_precision_and_recall(spark):
+    """q55: every reported pair must truly clear τ (precision 1.0 by
+    construction — candidates are exact-verified), and LSH recall vs the
+    brute-force pair set must hold (measured ≈0.83 on sf0.01 at τ=0.4)."""
+    import numpy as np
+
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in q55_embedding_neardup(spark, SF_DIR).collect()
+    }
+    # brute-force truth, numpy (same doubles as the JVM expression)
+    rows = (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = u @ u.T
+    iu, ju = np.triu_indices(len(u), 1)
+    keep = cos[iu, ju] >= NEARDUP_COS - 1e-9
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[keep], ju[keep])
+    }
+    assert truth, "test data must contain near-dup pairs at this τ"
+    # precision: reported pairs are a subset of the true pair set
+    # (1e-6 slack: numpy matmul may reassociate vs the JVM fold)
+    near_truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu, ju)
+        if cos[i, j] >= NEARDUP_COS - 1e-6
+    }
+    assert set(got) <= near_truth
+    recall = len(set(got) & truth) / len(truth)
+    assert recall >= 0.6, f"near-dup recall {recall} below floor"
 
 
 def test_media_metadata_matches_bytes(spark):
