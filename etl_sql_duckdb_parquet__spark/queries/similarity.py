@@ -32,7 +32,7 @@ _SEED = 42
 # left-to-right order) is preserved: the fold's seed step 0.0+x0 == x0
 # and both shapes associate ((x0+x1)+x2)+... in IEEE doubles.
 _DOT = " + ".join(f"va[{i}] * vb[{i}]" for i in range(_DIM))
-_TO_DOUBLE = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_TO_DOUBLE = "CAST(embedding AS array<double>)"
 _NORM = "sqrt(" + " + ".join(f"v[{i}] * v[{i}]" for i in range(_DIM)) + ")"
 
 

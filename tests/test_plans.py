@@ -1,0 +1,92 @@
+"""Physical-plan regression guards.
+
+Correctness tests prove the operators compute the right rows; these prove
+the PLANS are the ones we'd want on a 1000-executor cluster: broadcast
+joins where a side is dimension-sized, predicate/projection pushdown into
+the parquet scans, no single-partition exchanges on unbounded data, no
+cartesian products outside the documented brute-force baselines, and no
+interpreted higher-order-function lambdas left in the similarity hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sql_duckdb_parquet__spark.queries import REGISTRY  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    sess = df.sparkSession
+    return sess._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q04_broadcasts_dimension_joins(spark):
+    """customer/nation sides are dimension-sized and hinted — the shuffle
+    must be a broadcast exchange, not a sort-merge over the fact table."""
+    plan = plan_of(REGISTRY["q04_segment_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark):
+    """A filtered two-column aggregate must reach the scan as PushedFilters
+    + a pruned ReadSchema — never a full-width scan."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    df = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    # pruned read schema: only the three referenced columns
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "o_orderkey" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_q51_has_no_single_partition_exchange(spark):
+    """The round-1 weak finding: a global dense_rank window funneled the
+    whole vocabulary through one task.  The two-phase ranking must keep
+    every exchange partitioned."""
+    plan = plan_of(REGISTRY["q51_vocab_ids"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q42_lsh_is_not_cartesian(spark):
+    """MinHash+LSH near-dup: candidates come from the band-bucket join —
+    the plan must contain no cartesian product (the round-1 all-pairs
+    verify regression)."""
+    plan = plan_of(REGISTRY["q42_minhash_lsh_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_q55_neardup_is_not_cartesian(spark):
+    plan = plan_of(REGISTRY["q55_embedding_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_dot_products_are_codegen(spark):
+    """The unrolled dot product must stay out of interpreted HOF-lambda
+    land: no zip_with/lambda anywhere, and (in the post-AQE final plan —
+    codegen spans only materialize once adaptive execution finalizes) the
+    projection sits inside a WholeStageCodegen span."""
+    df = REGISTRY["q45_cosine_topk"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "zip_with" not in plan and "lambdafunction" not in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" prefixes mark WholeStageCodegen spans in the executed plan;
+    # the dot-product Project must sit inside one
+    assert "*(" in final and "Project [a_id" in final
