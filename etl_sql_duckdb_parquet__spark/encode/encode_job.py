@@ -328,8 +328,13 @@ def encode_token_table(
     )
     # pack several blob rows per output file (parquet footer overhead is
     # per file) while keeping enough write tasks to parallelize the final
-    # sink — at 1M partitions this is ~63k files, at 125 partitions 8 tasks
+    # sink — at 1M partitions this is ~63k files; when the 1:16 packing
+    # would leave write slots idle (few partitions, many cores) widen to
+    # one file per slot so the sink stage never serializes on a tail
+    slots = spark.sparkContext.defaultParallelism
     n_files = max(1, math.ceil(n_parts / 16))
+    if n_files < slots:
+        n_files = min(n_parts, slots)
     (
         encoded.repartition(n_files)
         .withColumn("run_id", F.lit(run_id)).write.mode("append")

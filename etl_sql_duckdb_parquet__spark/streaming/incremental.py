@@ -1,0 +1,105 @@
+"""Incremental (streaming) encode: continuously arriving token files →
+encoded blobs + manifest, exactly-once.
+
+A 100 TB training-data pipeline is never loaded in one batch — crawl
+shards land continuously.  This module wires the batch encode engine
+(:func:`..encode.encode_job.encode_token_table`) behind Structured
+Streaming's file source + ``foreachBatch``:
+
+- ``spark.readStream.parquet(input_dir)`` tracks which input files have
+  been consumed in the streaming checkpoint — new files form the next
+  micro-batch (at scale: a cloud-storage landing prefix).
+- each micro-batch is encoded by the SAME batch job, so partition
+  planning, salting, codec selection, blob packing, and manifest lineage
+  are identical to the batch path (one engine, two drivers — the
+  reference's scheduler loop, ``/root/reference/src/scheduler.py``, is
+  the single-node analogue of this incremental re-run capability).
+- exactly-once comes from layering the two checkpoints: the streaming
+  checkpoint de-duplicates INPUT FILES across restarts, and the encode
+  manifest de-duplicates PARTITIONS within a replayed batch (a batch
+  re-delivered after a mid-encode crash resumes — identical data ⇒
+  identical snapshot id ⇒ completed partitions are skipped).
+- decode of the accumulated store uses append mode
+  (``decode_token_table(spark, out_dir, snapshots="all")``): every
+  micro-batch is its own input snapshot, so the union is exact.
+
+No per-row Python anywhere: the stream is just file tracking; all data
+movement stays in the batch engine's mapInArrow kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..encode.encode_job import DEFAULT_TARGET_TOKENS, encode_token_table
+
+TOKEN_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start the incremental encode stream; returns the StreamingQuery.
+
+    ``available_now=True`` (default) drains everything currently in
+    ``input_dir`` and stops — the "catch up, then exit" mode a scheduled
+    ingestion job wants.  ``False`` keeps the query running, encoding new
+    files as they land (micro-batch cadence; bound batch size with
+    ``max_files_per_trigger`` so one huge drop does not produce one huge
+    batch).
+    """
+    reader = spark.readStream.schema(TOKEN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _encode_batch(batch_df, epoch_id: int) -> None:
+        # resume=True makes replayed epochs idempotent at partition
+        # granularity (same data ⇒ same snapshot id ⇒ manifest skips)
+        encode_token_table(
+            spark,
+            batch_df,
+            out_dir,
+            target_tokens=target_tokens,
+            resume=True,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_encode_batch)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_stream_checkpoint")
+        )
+        .queryName("incremental_encode")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    timeout_s: int = 600,
+) -> None:
+    """Drain all currently-available input files and wait for completion."""
+    q = encode_stream(
+        spark, input_dir, out_dir, target_tokens, available_now=True
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"incremental encode did not drain within {timeout_s}s"
+            )
+    finally:
+        if q.isActive:  # pragma: no cover - only on timeout
+            q.stop()

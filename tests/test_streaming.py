@@ -1,0 +1,78 @@
+"""Incremental (Structured Streaming) encode: files landing in two waves
+must each be encoded exactly once, and append-mode decode of the
+accumulated store must be bit-identical to the union of the inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sql_duckdb_parquet__spark.encode.decode_job import (  # noqa: E402
+    decode_token_table,
+    verify_roundtrip,
+)
+from etl_sql_duckdb_parquet__spark.encode.synth import (  # noqa: E402
+    synth_token_table,
+)
+from etl_sql_duckdb_parquet__spark.streaming import (  # noqa: E402
+    run_available_now,
+)
+
+
+def _wave(spark, n_docs: int, seed: int, prefix: str):
+    """A deterministic batch of docs with ids disjoint across seeds."""
+    return synth_token_table(spark, n_docs, seed=seed).withColumn(
+        "doc_id", F.concat(F.lit(prefix), F.col("doc_id"))
+    )
+
+
+def test_incremental_encode_two_waves_bit_identical(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "encoded")
+
+    w1 = _wave(spark, 300, seed=1, prefix="w1_")
+    w1.write.parquet(landing)  # wave 1 lands
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    n_snapshots_after_w1 = (
+        spark.read.parquet(os.path.join(out, "manifest"))
+        .select("snapshot_id")
+        .distinct()
+        .count()
+    )
+    assert n_snapshots_after_w1 == 1
+
+    w2 = _wave(spark, 200, seed=2, prefix="w2_")
+    w2.write.mode("append").parquet(landing)  # wave 2 lands later
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    # the second drain must only have consumed wave-2 files (streaming
+    # checkpoint), producing exactly one more snapshot
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.select("snapshot_id").distinct().count() == 2
+
+    # append-mode decode == union of both waves, token arrays bit-identical
+    decoded = decode_token_table(spark, out, snapshots="all")
+    src = w1.unionByName(w2)
+    report = verify_roundtrip(src, decoded)
+    assert report["ok"], report
+    assert report["n_union"] == 500
+
+
+def test_incremental_encode_rerun_is_noop(spark, tmp_path):
+    """Draining again with no new files must not add snapshots or blobs."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "encoded")
+    _wave(spark, 150, seed=3, prefix="w3_").write.parquet(landing)
+
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    manifest_path = os.path.join(out, "manifest")
+    rows_before = spark.read.parquet(manifest_path).count()
+
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    assert spark.read.parquet(manifest_path).count() == rows_before

@@ -87,10 +87,16 @@ def main() -> None:
         materialize_input(args.docs, input_path)
 
         # interleave reps across core counts so host-level noise (this
-        # sandbox shares CPU) hits both parallelism levels evenly;
-        # best-of-reps approximates steady-state throughput per level
+        # sandbox shares CPU) hits both parallelism levels evenly; the
+        # PER-PAIR efficiency is the honest statistic — adjacent runs see
+        # comparable host state, so noise cancels within a pair where it
+        # would dominate a cross-rep best-of comparison
         results = {}
+        pair_eff = []
+        lo, hi = min(cores_list), max(cores_list)
+        ratio = hi / lo
         for rep in range(args.repeats):
+            pair = {}
             for cores in cores_list:
                 out = os.path.join(work, f"enc_{cores}_{rep}")
                 stats = run_encode(
@@ -98,6 +104,7 @@ def main() -> None:
                 )
                 shutil.rmtree(out, ignore_errors=True)
                 tput = stats["n_tokens"] / stats["encode_wall_s"]
+                pair[cores] = tput
                 print(
                     f"local[{cores}] rep{rep}: {stats['n_tokens']} tokens "
                     f"in {stats['encode_wall_s']}s → {tput:,.0f} tok/s "
@@ -113,12 +120,17 @@ def main() -> None:
                         "encode_wall_s": stats["encode_wall_s"],
                         "tokens_per_s": round(tput, 1),
                     }
+            if lo in pair and hi in pair:
+                e = (pair[hi] / pair[lo]) / ratio
+                pair_eff.append(round(e, 3))
+                print(
+                    f"pair rep{rep}: efficiency {e:.3f}", file=sys.stderr
+                )
 
-        lo, hi = min(cores_list), max(cores_list)
-        ratio = hi / lo
         eff = (
             results[hi]["tokens_per_s"] / results[lo]["tokens_per_s"]
         ) / ratio
+        med = sorted(pair_eff)[len(pair_eff) // 2] if pair_eff else None
         summary = {
             "runs": list(results.values()),
             "scaling_factor": ratio,
@@ -126,7 +138,9 @@ def main() -> None:
                 results[hi]["tokens_per_s"] / results[lo]["tokens_per_s"], 3
             ),
             "scaling_efficiency": round(eff, 3),
-            "pass_ge_0.8": eff >= 0.8,
+            "pair_efficiencies": pair_eff,
+            "median_pair_efficiency": med,
+            "pass_ge_0.8": (med if med is not None else eff) >= 0.8,
         }
         print(json.dumps(summary))
     finally:
