@@ -23,46 +23,75 @@ from .manifest import blobs_path, read_manifest
 
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
-_ARROW_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.string()),
-        ("tokens", pa.list_(pa.int32())),
-        ("n_tok", pa.int32()),
-        ("source", pa.string()),
-    ]
-)
+_COLUMN_TYPES = {
+    "doc_id": ("string", pa.string()),
+    "tokens": ("array<int>", pa.list_(pa.int32())),
+    "n_tok": ("int", pa.int32()),
+    "source": ("string", pa.string()),
+}
+
+# which blob column(s) each logical column needs — the projection
+# pushdown map: a decode that skips `tokens` never reads (parquet column
+# pruning) nor decompresses the token blobs, the bulk of the bytes
+_BLOB_DEPS = {
+    "doc_id": ("docids_blob",),
+    "tokens": ("tokens_blob", "lengths_blob"),
+    "n_tok": ("lengths_blob",),
+    "source": ("sources_blob",),
+}
 
 
-def _decode_batches(iterator):
-    for batch in iterator:
-        tok_col = batch.column("tokens_blob")
-        len_col = batch.column("lengths_blob")
-        id_col = batch.column("docids_blob")
-        src_col = batch.column("sources_blob")
-        for i in range(batch.num_rows):
-            values = decode_int(tok_col[i].as_py()).astype(np.int32)
-            lengths = decode_int(len_col[i].as_py())
-            if len(lengths) == 0:
-                continue
-            docids = decode_strings(id_col[i].as_py())
-            sources = decode_strings(src_col[i].as_py())
-            # int32 offsets => plain ListArray (not LargeList); per-blob
-            # token counts are bounded by the ~2M-token partition plan
-            offsets = np.concatenate(([0], np.cumsum(lengths))).astype(
-                np.int32
-            )
-            tokens = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(values)
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(docids, pa.string()),
-                    tokens,
-                    pa.array(lengths.astype(np.int32)),
-                    pa.array(sources, pa.string()),
-                ],
-                schema=_ARROW_SCHEMA,
-            )
+def _make_decoder(columns: list[str]):
+    def _decode_batches(iterator):
+        for batch in iterator:
+            blob_cols = {
+                b: batch.column(b)
+                for b in {d for c in columns for d in _BLOB_DEPS[c]}
+            }
+            for i in range(batch.num_rows):
+                lengths = None
+                if "lengths_blob" in blob_cols:
+                    lengths = decode_int(blob_cols["lengths_blob"][i].as_py())
+                arrays, n_docs = [], None
+                for c in columns:
+                    if c == "tokens":
+                        values = decode_int(
+                            blob_cols["tokens_blob"][i].as_py()
+                        ).astype(np.int32)
+                        # int32 offsets => plain ListArray (not LargeList);
+                        # per-blob token counts are bounded by the ~2M-token
+                        # partition plan
+                        offsets = np.concatenate(
+                            ([0], np.cumsum(lengths))
+                        ).astype(np.int32)
+                        arr = pa.ListArray.from_arrays(
+                            pa.array(offsets), pa.array(values)
+                        )
+                    elif c == "n_tok":
+                        arr = pa.array(lengths.astype(np.int32))
+                    elif c == "doc_id":
+                        arr = pa.array(
+                            decode_strings(blob_cols["docids_blob"][i].as_py()),
+                            pa.string(),
+                        )
+                    else:  # source
+                        arr = pa.array(
+                            decode_strings(
+                                blob_cols["sources_blob"][i].as_py()
+                            ),
+                            pa.string(),
+                        )
+                    arrays.append(arr)
+                    n_docs = len(arr)
+                if n_docs:
+                    yield pa.RecordBatch.from_arrays(
+                        arrays,
+                        schema=pa.schema(
+                            [(c, _COLUMN_TYPES[c][1]) for c in columns]
+                        ),
+                    )
+
+    return _decode_batches
 
 
 def winning_blobs(
@@ -126,11 +155,38 @@ def winning_blobs(
 
 
 def decode_token_table(
-    spark: SparkSession, out_dir: str, snapshots: str = "latest"
+    spark: SparkSession,
+    out_dir: str,
+    snapshots: str = "latest",
+    columns: list[str] | None = None,
 ) -> DataFrame:
-    """Blobs + manifest → (doc_id, tokens, n_tok, source)."""
-    return winning_blobs(spark, out_dir, snapshots).mapInArrow(
-        _decode_batches, DECODED_SCHEMA
+    """Blobs + manifest → (doc_id, tokens, n_tok, source).
+
+    ``columns`` selects a subset — projection pushdown through the blob
+    format: each logical column lives in its own per-partition blob, so a
+    metadata query (``columns=["doc_id", "n_tok"]``) neither reads (parquet
+    column pruning) nor decompresses the token blobs, which are ~95% of
+    the store's bytes.  The same reason column stores win the reference's
+    CSV-vs-Parquet benchmark (``/root/reference/docs/benchmark_results.md``)
+    applied to our own format.
+    """
+    cols = list(_COLUMN_TYPES) if columns is None else list(columns)
+    unknown = set(cols) - set(_COLUMN_TYPES)
+    if unknown:
+        raise ValueError(
+            f"unknown decode columns {sorted(unknown)}; "
+            f"available: {list(_COLUMN_TYPES)}"
+        )
+    needed = []
+    for c in cols:
+        for b in _BLOB_DEPS[c]:
+            if b not in needed:
+                needed.append(b)
+    schema = ", ".join(f"{c} {_COLUMN_TYPES[c][0]}" for c in cols)
+    return (
+        winning_blobs(spark, out_dir, snapshots)
+        .select(*needed)
+        .mapInArrow(_make_decoder(cols), schema)
     )
 
 

@@ -83,6 +83,32 @@ def test_encode_decode_roundtrip(spark, token_df, tmp_path):
     assert all(r["codec"] for r in rows)
 
 
+def test_decode_column_projection(spark, token_df, tmp_path):
+    """Projected decode must match the full decode's projection, and the
+    blob scan must prune the token blobs (each logical column lives in its
+    own blob — the format's columnar payoff)."""
+    out = str(tmp_path / "enc_proj")
+    encode_token_table(spark, token_df, out, target_tokens=100_000)
+
+    proj = decode_token_table(spark, out, columns=["doc_id", "n_tok"])
+    assert proj.columns == ["doc_id", "n_tok"]
+    full = decode_token_table(spark, out).select("doc_id", "n_tok")
+    assert sorted(proj.collect()) == sorted(full.collect())
+
+    # parquet column pruning: the scan's ReadSchema must not include the
+    # token blob bytes
+    plan = proj.sparkSession._jvm.PythonSQLUtils.explainString(
+        proj._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("tokens_blob" not in ln for ln in read_schema)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown decode columns"):
+        decode_token_table(spark, out, columns=["nope"])
+
+
 def test_resume_skips_completed_partitions(spark, token_df, tmp_path):
     out = str(tmp_path / "enc_resume")
     first = encode_token_table(spark, token_df, out, target_tokens=100_000)
