@@ -28,8 +28,14 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # SPARK_GRAFT_MASTER overrides the master URL — e.g.
+    # "local-cluster[4,1,4096]" runs 4 REAL executor JVMs (separate
+    # processes, cross-executor netty shuffle) on this host; used by
+    # tools/scaling_bench.py --mode executors for cluster-shaped scaling
+    # evidence without a cluster manager.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -61,6 +67,16 @@ def get_spark(
         .config("spark.hadoop.parquet.statistics.truncate.length", "16")
         .config("spark.hadoop.parquet.columnindex.truncate.length", "16")
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes: they need the repo on the
+        # python workers' path and the same GC policy as the driver
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", repo_root
+        ).config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=2",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -34,15 +34,23 @@ def materialize_input(docs: int, path: str) -> None:
     spark.stop()
 
 
-def run_encode(input_path: str, out: str, cores: int, target_tokens: int) -> dict:
-    # taskset pins the WHOLE process tree (JVM + forked python workers) to
-    # exactly `cores` host CPUs — without it a local[8] JVM's GC/shuffle/
-    # netty threads and python workers spill onto extra cores and the
-    # N-vs-4N comparison measures nothing
-    cmd = [
-        "taskset",
-        "-c",
-        f"0-{cores - 1}",
+def run_encode(
+    input_path: str,
+    out: str,
+    cores: int,
+    target_tokens: int,
+    mode: str = "cores",
+    warmup_docs: int = 50_000,
+) -> dict:
+    # mode="cores": taskset pins the WHOLE process tree (JVM + forked
+    # python workers) to exactly `cores` host CPUs — without it a local[8]
+    # JVM's GC/shuffle/netty threads and python workers spill onto extra
+    # cores and the N-vs-4N comparison measures nothing.
+    # mode="executors": `cores` REAL executor JVMs (local-cluster, 1 task
+    # slot each, separate processes, cross-executor netty shuffle),
+    # unpinned — each executor's helper threads overlap onto free host
+    # cores exactly as a real cluster node's would.
+    cli = [
         sys.executable,
         "-m",
         "etl_sql_duckdb_parquet__spark.encode.cli",
@@ -59,9 +67,18 @@ def run_encode(input_path: str, out: str, cores: int, target_tokens: int) -> dic
         "--skip-reference",
         "--warmup-runs",
         "1",
+        "--warmup-docs",
+        str(warmup_docs),
     ]
+    env = dict(os.environ)
+    if mode == "executors":
+        cmd = cli
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cores},1,4096]"
+        env["SPARK_DRIVER_MEM"] = "8g"
+    else:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cli
     proc = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=1800, env=env
     )
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-3000:])
@@ -76,7 +93,22 @@ def main() -> None:
     # (see BASELINE.md "Measured results") so N vs 4N compares compute, not
     # one shared DRAM system
     ap.add_argument("--cores", default="2,8")
+    ap.add_argument(
+        "--mode",
+        choices=["cores", "executors"],
+        default="cores",
+        help="'cores': pinned local[N] threads; 'executors': N real "
+        "executor JVMs via local-cluster[N,1,4096]",
+    )
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--warmup-docs",
+        type=int,
+        default=50_000,
+        help="docs in the untimed warmup encode; in executors mode use "
+        "~200k so every executor JVM reaches JIT steady state (a real "
+        "long-lived executor's condition) before the timed run",
+    )
     args = ap.parse_args()
     cores_list = [int(c) for c in args.cores.split(",")]
 
@@ -100,7 +132,12 @@ def main() -> None:
             for cores in cores_list:
                 out = os.path.join(work, f"enc_{cores}_{rep}")
                 stats = run_encode(
-                    input_path, out, cores, args.target_tokens
+                    input_path,
+                    out,
+                    cores,
+                    args.target_tokens,
+                    args.mode,
+                    args.warmup_docs,
                 )
                 shutil.rmtree(out, ignore_errors=True)
                 tput = stats["n_tokens"] / stats["encode_wall_s"]
