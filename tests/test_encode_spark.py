@@ -83,6 +83,24 @@ def test_encode_decode_roundtrip(spark, token_df, tmp_path):
     assert all(r["codec"] for r in rows)
 
 
+def test_encode_empty_and_zero_length_docs(spark, tmp_path):
+    """Degenerate inputs: a 0-row table must no-op cleanly (0 planned
+    partitions), and docs with empty token arrays must roundtrip
+    bit-identical alongside non-empty ones."""
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    empty = spark.createDataFrame([], schema)
+    out0 = str(tmp_path / "enc_empty")
+    stats = encode_token_table(spark, empty, out0, target_tokens=10_000)
+    assert stats["n_parts_planned"] == 0 and stats["n_docs"] == 0
+
+    rows = [("d1", [], 0, "a"), ("d2", [1, 2, 3], 3, "a"), ("d3", [], 0, "b")]
+    df = spark.createDataFrame(rows, schema)
+    out1 = str(tmp_path / "enc_zlen")
+    encode_token_table(spark, df, out1, target_tokens=10_000)
+    v = verify_roundtrip(df, decode_token_table(spark, out1))
+    assert v["ok"] and v["n_union"] == 3, v
+
+
 def test_decode_column_projection(spark, token_df, tmp_path):
     """Projected decode must match the full decode's projection, and the
     blob scan must prune the token blobs (each logical column lives in its
