@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -105,12 +106,27 @@ def lsh_plane_literals(
     ).tolist()
 
 
-def _plane_dot(plane: list) -> F.Column:
-    # ±1 coefficients → unrolled signed sum (codegen; no interpreted HOF)
-    terms = [
-        (f"v[{i}]" if x > 0 else f"(- v[{i}])") for i, x in enumerate(plane)
-    ]
-    return F.expr(" + ".join(terms))
+def _lsh_bucket_udf():
+    """Vectorized bucket-id kernel: one (n × dim) @ (dim × L·k) matmul per
+    Arrow batch → L bucket ids per vector.
+
+    A SQL-expression formulation of the 32 plane dots (even fully
+    unrolled) puts ~64 multi-thousand-term expressions into the plan —
+    Catalyst spends seconds ANALYZING the tree before any data moves.
+    The numpy kernel keeps the plan tiny and is the right shape at 10^9
+    vectors anyway (BLAS matmul, one pass)."""
+    planes = np.asarray(lsh_plane_literals(), dtype=np.float64)  # (L,k,dim)
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)  # (k,)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        # (n, L, k) sign bits via one tensordot over dim
+        bits = np.tensordot(m, planes, axes=([1], [2])) >= 0.0
+        ids = (bits * weights).sum(axis=2).astype(np.int32)  # (n, L)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def _lsh_bucketed(v: DataFrame) -> DataFrame:
@@ -118,21 +134,14 @@ def _lsh_bucketed(v: DataFrame) -> DataFrame:
 
     L hash tables (OR) of k sign-bit planes (AND) — the standard
     recall/cost amplification shared by the ANN top-k (q46) and the
-    embedding near-dup pass (q55)."""
-    buckets = []
-    for planes in lsh_plane_literals():
-        bucket = None
-        for p, plane in enumerate(planes):
-            bit = F.when(_plane_dot(plane) >= 0, F.lit(1 << p)).otherwise(
-                F.lit(0)
-            )
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(bucket.cast("int"))
+    embedding near-dup pass (q55).  Bucket ids come from one vectorized
+    Arrow kernel (see :func:`_lsh_bucket_udf`)."""
+    buckets = _lsh_bucket_udf()
     return v.select(
         "vec_id",
         "v",
         "nrm",
-        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"),
+        F.posexplode(buckets(F.col("v"))).alias("table_idx", "bucket"),
     )
 
 
@@ -300,25 +309,31 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue for training-data curation).  Rows-only driver check
     (approximate by construction).
     """
-    bucketed = _lsh_bucketed(_vectors(spark, sf_dir))
-    a = bucketed.select(
+    v = _vectors(spark, sf_dir)
+    bucketed = _lsh_bucketed(v).select("vec_id", "table_idx", "bucket")
+    # candidate generation over 16-byte id pairs; vectors join back AFTER
+    # the distinct so the dedup shuffle never carries the embeddings
+    a = bucketed.select(F.col("vec_id").alias("a_id"), "table_idx", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b_id"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = v.select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-        "table_idx",
-        "bucket",
     )
-    b = bucketed.select(
+    vb = v.select(
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
-        "table_idx",
-        "bucket",
     )
     return (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
             "a_id",
             "b_id",
