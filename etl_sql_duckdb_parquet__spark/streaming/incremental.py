@@ -63,9 +63,10 @@ def encode_stream(
 
     def _encode_batch(batch_df, epoch_id: int) -> None:
         # resume=True makes replayed epochs idempotent at partition
-        # granularity (same data ⇒ same snapshot id ⇒ manifest skips)
+        # granularity (same data ⇒ same snapshot id ⇒ manifest skips);
+        # the batch's own session is authoritative inside foreachBatch
         encode_token_table(
-            spark,
+            batch_df.sparkSession,
             batch_df,
             out_dir,
             target_tokens=target_tokens,
