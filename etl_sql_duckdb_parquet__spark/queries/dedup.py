@@ -146,13 +146,17 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify candidates with exact Jaccard over an inverted index
     # semi-joined down to candidate docs only — the self-join below touches
-    # near-dup clusters, never the full corpus (the whole point of LSH)
+    # near-dup clusters, never the full corpus (the whole point of LSH).
+    # Deliberately NOT broadcast: candidate cardinality is output-scale
+    # (billions of ids on a 100 TB crawl), so the semi-join must stay a
+    # shuffled join on 16-byte keys — AQE may still broadcast at runtime
+    # when the measured size is genuinely small.
     cand_ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh_cand.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh_cand.select(F.col("doc_id").alias("b_id"), "shingle")

@@ -1,10 +1,16 @@
 """Codec-engine showcase queries — the north-star compression engine
 exercised through the driver query contract.
 
-q50/q52 run the real numpy codec kernels inside applyInPandas (rows-only
-driver checks: codec choices depend on xxhash64 tokenization, which has
-no DuckDB twin).  q51 is the SQL-expressible tokenization path — global
-vocabulary ids via a rank join — with a full DuckDB oracle.
+q50/q52 run the real numpy codec kernels inside applyInPandas over the
+SAME token-mass-proportional salted partition plan the encode job uses
+(``encode_job.plan_partitions``) — a 90%-hot source is split across
+proportionally many partitions instead of funneling through one Python
+worker, and the per-partition stats are merged deterministically.  Both
+carry full DuckDB oracles: doc/token/byte counts are SQL-expressible, and
+the codec-dependent facts are surfaced as Spark-computed booleans the
+oracle asserts TRUE (a codec regression breaks the driver's value hash).
+q51 is the SQL-expressible tokenization path — global vocabulary ids via
+a two-phase distributed rank join.
 """
 
 from __future__ import annotations
@@ -15,12 +21,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..codecs import decode_int, encode_int_best
-from ..codecs.core import codec_of
+from ..codecs.core import CODEC_NAMES, codec_of
+from ..encode.encode_job import DEFAULT_TARGET_TOKENS, plan_partitions
 from ..encode.synth import tokenize_documents
 from .common import t
 
 
 def _encode_stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode ONE salted partition's token stream through the real kernels."""
     source = pdf["source"].iloc[0]
     arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"]]
     values = (
@@ -37,7 +45,6 @@ def _encode_stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_tokens": [len(values)],
             "raw_bytes": [raw],
             "comp_bytes": [len(blob)],
-            "ratio": [round(raw / len(blob), 4) if len(blob) else 0.0],
             "roundtrip_ok": [ok],
         }
     )
@@ -45,17 +52,58 @@ def _encode_stats_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 _STATS_SCHEMA = (
     "source string, codec string, n_docs long, n_tokens long, "
-    "raw_bytes long, comp_bytes long, ratio double, roundtrip_ok boolean"
+    "raw_bytes long, comp_bytes long, roundtrip_ok boolean"
 )
 
 
+def encoded_source_stats(
+    toks: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS
+) -> DataFrame:
+    """Per-source codec stats over the encode job's salted partition plan.
+
+    Skew handling is the encode job's own (``plan_partitions``): each
+    source gets ``ceil(source_tokens / target_tokens)`` salt buckets keyed
+    by doc-id hash, so no single Python worker ever sees more than
+    ~``target_tokens`` tokens regardless of source skew.  Per-partition
+    stats merge deterministically: counts/bytes sum, ``roundtrip_ok``
+    ANDs, and the reported codec is the one chosen for the partition with
+    the largest token mass (ties break lexicographically) — at sf0.01
+    every source fits one salt, so the output is byte-identical to an
+    unsalted encode.
+    """
+    planned, _ = plan_partitions(toks, target_tokens, by_source=True)
+    per_part = planned.groupBy("source", "part_id").applyInPandas(
+        _encode_stats_group, _STATS_SCHEMA
+    )
+    return per_part.groupBy("source").agg(
+        F.max(F.struct("n_tokens", "codec"))["codec"].alias("codec"),
+        F.count("*").alias("n_parts"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("comp_bytes").alias("comp_bytes"),
+        F.min("roundtrip_ok").alias("roundtrip_ok"),
+    )
+
+
 def q50_codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source codec auto-selection + compression ratio (real kernels)."""
-    toks = tokenize_documents(spark, sf_dir)
+    """Per-source codec auto-selection stats (real kernels), fully
+    oracle-checked: counts/bytes are SQL-expressible; ``codec_known``
+    (selector returned a registered codec) and ``compressed`` (the chosen
+    codec beat raw) are Spark-computed booleans the oracle asserts TRUE —
+    a selector or kernel regression breaks the value hash.  The codec
+    *name* is asserted against the registry in pytest (xxhash-dependent,
+    so it has no DuckDB twin)."""
+    stats = encoded_source_stats(tokenize_documents(spark, sf_dir))
     return (
-        toks.groupBy("source")
-        .applyInPandas(_encode_stats_group, _STATS_SCHEMA)
-        .drop("roundtrip_ok")
+        stats.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "raw_bytes",
+            F.col("codec").isin(*CODEC_NAMES.values()).alias("codec_known"),
+            (F.col("comp_bytes") < F.col("raw_bytes")).alias("compressed"),
+        )
         .orderBy("source")
     )
 
@@ -108,7 +156,10 @@ def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate.  The ranking deliberately avoids the single-partition
     ``Window.orderBy`` plan: vocab is unbounded over 100 TB of web text, so
     ids come from per-range-partition row_numbers plus broadcast offsets
-    (see :func:`global_rank_ids`).
+    (see :func:`global_rank_ids`).  The vocab join is deliberately NOT
+    hinted broadcast for the same reason — an unbounded vocab must ride a
+    shuffle hash join on ``word``; AQE may still broadcast at runtime when
+    the measured build side is genuinely small.
     """
     docs = t(spark, sf_dir, "documents")
     words = docs.select(
@@ -119,7 +170,7 @@ def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = global_rank_ids(words, "word")
     return (
-        words.join(F.broadcast(vocab), "word")
+        words.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
@@ -133,19 +184,17 @@ def q51_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q52_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source encode→decode bit-identity verdicts (north-rule invariant
-    surfaced through the query contract).
+    surfaced through the query contract), computed over the salted
+    partition plan (see :func:`encoded_source_stats`).
 
     Fully oracle-checkable: n_docs/n_tokens are plain word counts (the
     tokenizer maps words 1:1 to ids) and the oracle asserts
     ``roundtrip_ok = TRUE`` — the Spark side computes it for real through
     the codec kernels, so any bit-infidelity fails the driver's value hash.
-    (The codec *name* stays in q50, which is rows-only by design.)
     """
-    toks = tokenize_documents(spark, sf_dir)
+    stats = encoded_source_stats(tokenize_documents(spark, sf_dir))
     return (
-        toks.groupBy("source")
-        .applyInPandas(_encode_stats_group, _STATS_SCHEMA)
-        .select("source", "n_docs", "n_tokens", "roundtrip_ok")
+        stats.select("source", "n_docs", "n_tokens", "roundtrip_ok")
         .orderBy("source")
     )
 
@@ -167,6 +216,27 @@ def q53_token_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENCODE_ORACLES: dict[str, str] = {
+    # q50: counts/bytes are SQL-expressible (hash tokenizer maps words 1:1
+    # to ids, raw = 4 bytes/token); codec_known/compressed are asserted
+    # TRUE — Spark computes them genuinely through the selector + kernels,
+    # so a regression breaks the value hash.  The codec NAME is pytest-
+    # asserted (xxhash-dependent choice has no DuckDB twin).
+    "q50_codec_selection": """
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(4 * sum(n_tok) AS BIGINT) AS raw_bytes,
+               TRUE AS codec_known,
+               TRUE AS compressed
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
     # q52: doc/token counts are SQL-expressible (hash tokenizer maps words
     # 1:1 to ids); roundtrip_ok is asserted TRUE — Spark computes it
     # genuinely through encode_int_best/decode_int, so a codec regression

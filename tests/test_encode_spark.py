@@ -256,3 +256,48 @@ def test_manifest_records_selector_stats(spark, token_df, tmp_path):
         assert r["n_distinct"] > 0
         assert r["n_runs"] > 0
         assert 0 <= r["vmin"] <= r["vmax"] < 50257
+
+
+def test_encoded_source_stats_salts_hot_source(spark):
+    """The q50/q52 showcase path must reuse the encode job's token-mass
+    salting (round-2 weak finding: one applyInPandas group per source
+    melts an executor on a hot source).  A skewed synthetic source must
+    split across >1 partition, and the merged per-source stats must still
+    equal the unsalted totals."""
+    from etl_sql_duckdb_parquet__spark.encode.synth import synth_token_table
+    from etl_sql_duckdb_parquet__spark.queries.encode_queries import (
+        encoded_source_stats,
+    )
+
+    toks = synth_token_table(spark, 2000, avg_len=64)  # ~70% one hot source
+    rows = encoded_source_stats(toks, target_tokens=10_000).collect()
+    hot = max(rows, key=lambda r: r["n_tokens"])
+    assert hot["n_parts"] > 1
+    by_src = {r["source"]: r for r in rows}
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tok").alias("t"), F.count("*").alias("n")
+    ).collect()
+    assert set(by_src) == {r["source"] for r in totals}
+    for r in totals:
+        s = by_src[r["source"]]
+        assert s["n_tokens"] == r["t"] and s["n_docs"] == r["n"]
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["comp_bytes"] < r["raw_bytes"] for r in rows)
+
+
+def test_q50_codec_names_are_registered(spark):
+    """The codec NAME is not oracle-expressible (xxhash-dependent), so the
+    selector's choice is asserted here: every per-source codec must be a
+    registered codec id and the driver-facing booleans must hold."""
+    from etl_sql_duckdb_parquet__spark.codecs.core import CODEC_NAMES
+    from etl_sql_duckdb_parquet__spark.queries.encode_queries import (
+        encoded_source_stats,
+    )
+
+    toks = tokenize_documents(spark, "/root/testdata/sf0.001")
+    rows = encoded_source_stats(toks).collect()
+    names = set(CODEC_NAMES.values())
+    assert rows
+    for r in rows:
+        assert r["codec"] in names
+        assert r["comp_bytes"] < r["raw_bytes"]

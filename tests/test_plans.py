@@ -64,6 +64,42 @@ def test_q51_has_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def _without_auto_broadcast(spark, builder):
+    """Plan with auto-broadcast disabled: any BroadcastExchange left in the
+    initial plan can only come from an explicit ``F.broadcast`` hint."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return plan_of(builder())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q51_vocab_join_is_not_hint_broadcast(spark):
+    """The vocabulary is unbounded at 100 TB of web text: the words⋈vocab
+    join must NOT carry a broadcast hint (round-2 weak finding).  With
+    auto-broadcast disabled, the only BroadcastExchange allowed in the
+    plan is the metadata-sized per-range-partition offsets table."""
+    plan = _without_auto_broadcast(
+        spark, lambda: REGISTRY["q51_vocab_ids"](spark, SF_DIR)
+    )
+    assert plan.count("BroadcastExchange (") <= 1  # tree node occurrences
+    # the vocab side must ride a shuffled join on `word`
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Left keys [1]: [word" in plan
+
+
+def test_q42_candidate_semijoin_is_not_hint_broadcast(spark):
+    """Candidate-id cardinality is output-scale (billions at 100 TB): the
+    verify semi-join must NOT carry a broadcast hint (round-2 weak
+    finding).  q42 uses no legitimate hints, so with auto-broadcast off
+    the plan must contain no BroadcastExchange at all."""
+    plan = _without_auto_broadcast(
+        spark, lambda: REGISTRY["q42_minhash_lsh_pairs"](spark, SF_DIR)
+    )
+    assert "BroadcastExchange" not in plan
+
+
 def test_q42_lsh_is_not_cartesian(spark):
     """MinHash+LSH near-dup: candidates come from the band-bucket join —
     the plan must contain no cartesian product (the round-1 all-pairs
