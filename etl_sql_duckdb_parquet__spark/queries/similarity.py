@@ -38,8 +38,16 @@ _NORM = "sqrt(" + " + ".join(f"v[{i}] * v[{i}]" for i in range(_DIM)) + ")"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-dim contract: only ``_DIM``-length embeddings flow downstream.
+
+    The unrolled ``_DOT``/``_NORM`` expressions index ``v[0.._DIM-1]``
+    directly, and Spark 4 ANSI mode turns an out-of-range index into
+    INVALID_ARRAY_INDEX — so a single malformed row would fail the whole
+    query.  The size filter is a cheap codegen predicate that makes the
+    contract explicit (malformed rows are dropped, not fatal)."""
     return (
         t(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") == _DIM)
         .select("vec_id", F.expr(_TO_DOUBLE).alias("v"))
         .withColumn("nrm", F.expr(_NORM))
     )
@@ -120,6 +128,8 @@ def _lsh_bucket_udf():
 
     @F.pandas_udf("array<int>")
     def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack raises on an empty batch
+            return pd.Series([], dtype=object)
         m = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
         # (n, L, k) sign bits via one tensordot over dim
         bits = np.tensordot(m, planes, axes=([1], [2])) >= 0.0
@@ -359,6 +369,19 @@ def _unit_rows(pdf) -> "np.ndarray":
     return m / norms[:, None]
 
 
+def _merge_cell_partials(pdf) -> "pd.DataFrame":
+    """Reduce one cell's per-batch partials to a single (n, sum-vector)
+    row — numpy element-wise, O(upstream partitions) rows per group."""
+    m = np.stack(pdf["s"].to_numpy()).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "cell": [int(pdf["cell"].iloc[0])],
+            "n": [int(pdf["n"].sum())],
+            "s": [m.sum(axis=0)],
+        }
+    )
+
+
 def train_kmeans_cells(
     v: DataFrame, n_cells: int, iters: int = _KMEANS_ITERS
 ) -> np.ndarray:
@@ -369,10 +392,13 @@ def train_kmeans_cells(
     iteration is ONE pass over the vectors: an Arrow-batched kernel emits
     per-batch partial (cell, count, sum-vector) rows — a map-side combine,
     so nothing bigger than ``n_cells x dim`` per batch ever shuffles — and
-    a tiny (cell, dim) aggregation yields the new centroids.  Driver-side
-    state is just the centroid matrix (√n x dim ≈ 16 MB at 10^9 vectors),
-    broadcast to executors inside the task closure.
+    a per-cell array-wise reduce yields the new centroids.  Driver traffic
+    per iteration is O(cells) rows each carrying one dim-array (~16 MB at
+    10^9 vectors), not O(cells x dim) scalar rows; the current centroid
+    matrix rides a ``sparkContext.broadcast`` (torrent-distributed once
+    per executor), never task-closure pickling.
     """
+    spark = v.sparkSession
     seeds = (
         v.select("vec_id", "v")
         .withColumn("_h", F.xxhash64(F.col("vec_id").cast("string")))
@@ -382,22 +408,24 @@ def train_kmeans_cells(
     )
     cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
     cent /= np.maximum(np.linalg.norm(cent, axis=1), 1e-12)[:, None]
-    dim = cent.shape[1]
 
     for _ in range(iters):
-        cent_b = cent  # captured by value in the closure below
+        bc = spark.sparkContext.broadcast(cent)
 
         def _partials(iterator):
             import pandas as pd
 
+            c = bc.value
             for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
                 u = _unit_rows(pdf)
-                cell = (u @ cent_b.T).argmax(axis=1)
+                cell = (u @ c.T).argmax(axis=1)
                 hit = np.unique(cell)
-                sums = np.zeros((hit.size, dim))
+                sums = np.zeros((hit.size, c.shape[1]))
                 counts = np.zeros(hit.size, dtype=np.int64)
-                for j, c in enumerate(hit):
-                    sel = cell == c
+                for j, cc in enumerate(hit):
+                    sel = cell == cc
                     sums[j] = u[sel].sum(axis=0)
                     counts[j] = int(sel.sum())
                 yield pd.DataFrame(
@@ -411,19 +439,19 @@ def train_kmeans_cells(
         rows = (
             v.select("v")
             .mapInPandas(_partials, "cell int, n long, s array<double>")
-            .select("cell", "n", F.posexplode("s").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("n").alias("n"), F.sum("x").alias("sx"))
+            .groupBy("cell")
+            .applyInPandas(
+                _merge_cell_partials, "cell int, n long, s array<double>"
+            )
             .collect()
         )
+        bc.destroy()
         new = cent.copy()
-        acc = np.zeros_like(cent)
         cnt = np.zeros(cent.shape[0])
         for r in rows:
-            acc[r["cell"], r["dim"]] = r["sx"]
-            cnt[r["cell"]] = max(cnt[r["cell"]], r["n"])
-        nonempty = cnt > 0
-        new[nonempty] = acc[nonempty]
+            new[r["cell"]] = np.asarray(r["s"], dtype=np.float64)
+            cnt[r["cell"]] = r["n"]
+        # cells with no assignments keep their previous centroid
         norms = np.maximum(np.linalg.norm(new, axis=1), 1e-12)
         cent = new / norms[:, None]
     return cent
@@ -444,11 +472,14 @@ def q54_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = v.count()
     n_cells = int(np.clip(round(np.sqrt(n)), 4, 256))
     nprobe = max(2, n_cells // _PROBE_SHARE)
-    cent = train_kmeans_cells(v, n_cells)
+    # the trained quantizer ships via sparkContext.broadcast (one torrent
+    # transfer per executor) instead of being pickled into every task
+    bc_cent = spark.sparkContext.broadcast(train_kmeans_cells(v, n_cells))
 
     def _assign(iterator):
         import pandas as pd
 
+        cent = bc_cent.value
         # multi-assignment: each vector is indexed in its R nearest cells
         # (R x storage, standard IVF trick) so a neighbor sitting just
         # across a cell boundary is still found by the probe
@@ -474,6 +505,7 @@ def q54_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _probe(iterator):
         import pandas as pd
 
+        cent = bc_cent.value
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
