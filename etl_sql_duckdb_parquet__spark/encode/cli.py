@@ -52,6 +52,17 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip writing the Parquet/ZSTD reference copy")
+    ap.add_argument("--stream-input-dir", default=None,
+                    help="incremental mode: drain parquet files landing in "
+                         "this dir via Structured Streaming (exactly-once; "
+                         "re-invoke as new files land — the stream checkpoint "
+                         "under --out skips files already ingested)")
+    ap.add_argument("--available-now", dest="available_now",
+                    action="store_true", default=True,
+                    help="streaming mode: catch up on available files, then "
+                         "exit (the default; the scheduled-ingestion shape)")
+    ap.add_argument("--stream-timeout", type=int, default=600,
+                    help="streaming mode: max seconds to wait for the drain")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -60,6 +71,34 @@ def main(argv: list[str] | None = None) -> dict:
     from .synth import synth_token_table, tokenize_documents
 
     spark = get_spark(cores=args.cores)
+
+    if args.stream_input_dir:
+        from ..streaming.incremental import run_available_now
+
+        t0 = time.perf_counter()
+        run_available_now(
+            spark,
+            args.stream_input_dir,
+            args.out,
+            target_tokens=args.target_tokens,
+            timeout_s=args.stream_timeout,
+        )
+        stats = {
+            "mode": "stream_available_now",
+            "input_dir": args.stream_input_dir,
+            "out": args.out,
+            "drain_wall_s": round(time.perf_counter() - t0, 3),
+        }
+        if not args.no_verify:
+            src = spark.read.schema(
+                "doc_id string, tokens array<int>, n_tok int, source string"
+            ).parquet(args.stream_input_dir)
+            decoded = decode_token_table(spark, args.out, snapshots="all")
+            v = verify_roundtrip(src, decoded)
+            stats["verified_ok"] = v["ok"]
+            stats["verify"] = v
+        print(json.dumps(stats, default=str))
+        return stats
     if args.input_parquet:
         df = spark.read.parquet(args.input_parquet)
     elif args.synth_docs:

@@ -283,8 +283,17 @@ def encode_token_table(
     by_source: bool = True,
     resume: bool = True,
     run_id: str | None = None,
+    snapshot_salt: str | None = None,
 ) -> dict:
-    """Encode a (doc_id, tokens, n_tok, source) table; returns run stats."""
+    """Encode a (doc_id, tokens, n_tok, source) table; returns run stats.
+
+    ``snapshot_salt`` scopes the content-addressed snapshot id to a caller
+    namespace (e.g. a streaming epoch): two DIFFERENT ingest batches whose
+    content happens to be identical must land as two snapshots — without a
+    salt the second would resume-skip against the first's manifest rows and
+    silently vanish from ``decode(snapshots="all")``.  A REPLAY of the same
+    batch passes the same salt and still dedupes exactly.
+    """
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
     shares, data_snapshot = input_stats(df)
     planned, n_parts = plan_partitions(df, target_tokens, by_source, shares)
@@ -293,6 +302,8 @@ def encode_token_table(
     # re-run of the same data under a coarser/finer plan must NOT resume
     # against (or union with) the old plan's partitions.
     snapshot_id = f"{data_snapshot}-tt{target_tokens}{'s' if by_source else 'g'}"
+    if snapshot_salt is not None:
+        snapshot_id = f"{snapshot_id}-{snapshot_salt}"
 
     skipped = 0
     pending = planned

@@ -17,11 +17,16 @@ Streaming's file source + ``foreachBatch``:
 - exactly-once comes from layering the two checkpoints: the streaming
   checkpoint de-duplicates INPUT FILES across restarts, and the encode
   manifest de-duplicates PARTITIONS within a replayed batch (a batch
-  re-delivered after a mid-encode crash resumes — identical data ⇒
-  identical snapshot id ⇒ completed partitions are skipped).
+  re-delivered after a mid-encode crash replays with the SAME epoch id ⇒
+  identical epoch-scoped snapshot id ⇒ completed partitions are skipped).
+  The epoch id is mixed into the snapshot id precisely so that only
+  replays dedupe: two DIFFERENT micro-batches with coincidentally
+  identical content (legit duplicate shards landing twice) are distinct
+  epochs ⇒ distinct snapshots ⇒ both encoded.
 - decode of the accumulated store uses append mode
   (``decode_token_table(spark, out_dir, snapshots="all")``): every
-  micro-batch is its own input snapshot, so the union is exact.
+  micro-batch is its own epoch-scoped input snapshot, so the union is the
+  exact union of the inputs — including content-duplicate batches.
 
 No per-row Python anywhere: the stream is just file tracking; all data
 movement stays in the batch engine's mapInArrow kernels.
@@ -62,15 +67,18 @@ def encode_stream(
     stream = reader.parquet(input_dir)
 
     def _encode_batch(batch_df, epoch_id: int) -> None:
-        # resume=True makes replayed epochs idempotent at partition
-        # granularity (same data ⇒ same snapshot id ⇒ manifest skips);
-        # the batch's own session is authoritative inside foreachBatch
+        # resume=True + the epoch-salted snapshot id make exactly REPLAYED
+        # epochs idempotent at partition granularity (same epoch ⇒ same
+        # snapshot id ⇒ manifest skips) while distinct epochs that happen
+        # to carry identical content still both encode; the batch's own
+        # session is authoritative inside foreachBatch
         encode_token_table(
             batch_df.sparkSession,
             batch_df,
             out_dir,
             target_tokens=target_tokens,
             resume=True,
+            snapshot_salt=f"e{epoch_id}",
         )
 
     writer = (

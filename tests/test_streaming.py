@@ -64,6 +64,68 @@ def test_incremental_encode_two_waves_bit_identical(spark, tmp_path):
     assert report["n_union"] == 500
 
 
+def test_content_identical_waves_are_distinct_snapshots(spark, tmp_path):
+    """Two DIFFERENT micro-batches with identical content (legit duplicate
+    shards landing twice) must BOTH encode: the snapshot id is epoch-
+    scoped, so content-addressing alone can't resume-skip the second wave.
+    decode(all) is then the exact union of the inputs, duplicates included.
+    """
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "encoded")
+    w = _wave(spark, 120, seed=7, prefix="dup_")
+
+    w.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w.write.mode("append").parquet(landing)  # same content, new files
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.select("snapshot_id").distinct().count() == 2
+
+    decoded = decode_token_table(spark, out, snapshots="all")
+    agg = decoded.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")).alias("s"),
+    ).first()
+    src = w.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")).alias("s"),
+    ).first()
+    assert agg["n"] == 2 * src["n"]
+    assert agg["s"] == 2 * src["s"]
+
+
+def test_streaming_cli_two_waves(spark, tmp_path):
+    """The spark-submit surface: `encode.cli --stream-input-dir` drains a
+    landing dir exactly-once per invocation and verifies decode(all)
+    against the full landing contents."""
+    from etl_sql_duckdb_parquet__spark.encode.cli import main
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "encoded")
+
+    _wave(spark, 150, seed=11, prefix="c1_").write.parquet(landing)
+    stats1 = main([
+        "--stream-input-dir", landing, "--out", out,
+        "--target-tokens", "20000", "--skip-reference",
+    ])
+    assert stats1["mode"] == "stream_available_now"
+    assert stats1["verified_ok"], stats1
+
+    _wave(spark, 100, seed=12, prefix="c2_").write.mode("append").parquet(
+        landing
+    )
+    stats2 = main([
+        "--stream-input-dir", landing, "--out", out,
+        "--target-tokens", "20000", "--skip-reference",
+    ])
+    assert stats2["verified_ok"], stats2
+    assert stats2["verify"]["n_union"] == 250
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.select("snapshot_id").distinct().count() == 2
+
+
 def test_incremental_encode_rerun_is_noop(spark, tmp_path):
     """Draining again with no new files must not add snapshots or blobs."""
     landing = str(tmp_path / "landing")
