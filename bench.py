@@ -16,8 +16,15 @@ recorded in BASELINE.md.
 
 Every timed section is BEST-OF-N (``$SPARK_GRAFT_BENCH_REPEATS``, default
 2): this host's CPU varies 3-10x run-to-run (CLAUDE.md), so single-shot
-round-over-round deltas are unreadable.  Encode repeats use a fresh output
-dir each time (resume would no-op the second pass).
+round-over-round deltas are unreadable.  Repeats are REUSE-PROOF: within
+one session Spark reuses the shuffle output of an identical re-executed
+lineage, which would flatter every repeat after the first.  Each repeat
+therefore runs against its own input snapshot — a byte-identical copy of
+the sf-dir at a distinct path (fresh scan ⇒ fresh shuffle) for the query
+suite and the sf-dir encode, and a distinct generator seed for the
+synthetic encode — plus a fresh output dir for encodes (resume would
+no-op the second pass).  The scheme is recorded in the output JSON
+(``repeat_variation``).
 """
 
 from __future__ import annotations
@@ -75,7 +82,25 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     spark = get_spark(cores=cores)
     queries: dict[str, float] = {}
-    extra: dict[str, object] = {"repeats": repeats}
+    extra: dict[str, object] = {
+        "repeats": repeats,
+        "repeat_variation": (
+            "per-repeat sf-dir snapshot copies (fresh scan lineage, no "
+            "intra-session shuffle reuse) + per-repeat synth seed + fresh "
+            "encode output dirs"
+        ),
+    }
+
+    # per-repeat input snapshots: same bytes, distinct paths — an identical
+    # re-executed lineage reuses its shuffle stage within a session
+    # (CLAUDE.md), so repeat 2+ must scan a different path to honestly
+    # redo the work
+    snap_root = tempfile.mkdtemp(prefix="bench_sfsnap_")
+    rep_sf_dirs = [sf_dir] + [
+        os.path.join(snap_root, f"rep{r}") for r in range(1, repeats)
+    ]
+    for d in rep_sf_dirs[1:]:
+        shutil.copytree(sf_dir, d)
 
     # untimed warmup: small full-path encode so the timed sections measure
     # steady state (JIT, python workers, codegen), not session cold-start
@@ -94,13 +119,15 @@ def main() -> None:
     # --- headline: encode pipeline on the sf-dir documents table
     work = tempfile.mkdtemp(prefix="bench_enc_")
     try:
-        # materialize the tokenized input before timing: encode makes two
-        # passes (stats + encode), and re-running the tokenizer inside the
-        # timed region would measure generation, not the encode engine
-        df = tokenize_documents(spark, sf_dir).cache()
-        df.count()
         enc_s, dec_s = float("inf"), float("inf")
         for rep in range(repeats):
+            # materialize the tokenized input before timing: encode makes
+            # two passes (stats + encode), and re-running the tokenizer
+            # inside the timed region would measure generation, not the
+            # encode engine.  Each repeat caches its OWN snapshot copy so
+            # the encode shuffle is genuinely re-executed.
+            df = tokenize_documents(spark, rep_sf_dirs[rep]).cache()
+            df.count()
             rep_dir = os.path.join(work, f"rep{rep}")
             t0 = time.perf_counter()
             stats = encode_token_table(spark, df, rep_dir, resume=False)
@@ -113,10 +140,16 @@ def main() -> None:
                 extra["sfdir_blob_bytes"] = dir_bytes(
                     os.path.join(rep_dir, "blobs")
                 )
+                ref_dir = os.path.join(work, "ref_zstd")
+                df.write.mode("overwrite").option(
+                    "compression", "zstd"
+                ).parquet(ref_dir)
+                extra["sfdir_reference_zstd_bytes"] = dir_bytes(ref_dir)
             else:
                 extra["decode_bit_identical"] = (
                     extra["decode_bit_identical"] and v["ok"]
                 )
+            df.unpersist()
         queries["encode_sfdir"] = round(enc_s, 3)
         queries["decode_verify_sfdir"] = round(dec_s, 3)
         extra["sfdir_tokens"] = stats["n_tokens"]
@@ -124,45 +157,47 @@ def main() -> None:
         extra["sfdir_compression_ratio"] = round(
             stats["raw_bytes"] / stats["comp_bytes"], 4
         )
-        ref_dir = os.path.join(work, "ref_zstd")
-        df.write.mode("overwrite").option("compression", "zstd").parquet(ref_dir)
-        extra["sfdir_reference_zstd_bytes"] = dir_bytes(ref_dir)
         extra["sfdir_size_vs_reference"] = round(
             extra["sfdir_blob_bytes"] / extra["sfdir_reference_zstd_bytes"], 4
         )
-        df.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    # --- headline: CPU-bound synthetic encode (fixed size, seed-fixed)
+    # --- headline: CPU-bound synthetic encode (fixed size per repeat,
+    # seed varied per repeat so repeat lineages are distinct)
     work = tempfile.mkdtemp(prefix="bench_synth_")
     try:
-        sdf = synth_token_table(spark, SYNTH_DOCS).cache()
-        sdf.count()
-        enc_s = float("inf")
+        enc_s, tok_per_s = float("inf"), 0.0
         for rep in range(repeats):
+            sdf = synth_token_table(spark, SYNTH_DOCS, seed=1000 + rep).cache()
+            sdf.count()
             rep_dir = os.path.join(work, f"rep{rep}")
             t0 = time.perf_counter()
             stats = encode_token_table(spark, sdf, rep_dir, resume=False)
-            enc_s = min(enc_s, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < enc_s:
+                enc_s = dt
+                tok_per_s = stats["n_tokens"] / dt
+                extra["synth_tokens"] = stats["n_tokens"]
+                extra["synth_compression_ratio"] = round(
+                    stats["raw_bytes"] / stats["comp_bytes"], 4
+                )
+            sdf.unpersist()
         queries["encode_synth"] = round(enc_s, 3)
-        extra["synth_tokens"] = stats["n_tokens"]
-        extra["synth_tokens_per_s"] = round(stats["n_tokens"] / enc_s, 1)
-        extra["synth_compression_ratio"] = round(
-            stats["raw_bytes"] / stats["comp_bytes"], 4
-        )
-        sdf.unpersist()
+        extra["synth_tokens_per_s"] = round(tok_per_s, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    # --- representative query-suite slice (best-of-N each)
+    # --- representative query-suite slice (best-of-N each, each repeat
+    # scanning its own sf-dir snapshot so no shuffle stage is reused)
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(repeats):
+        for rep in range(repeats):
             t0 = time.perf_counter()
-            REGISTRY[name](spark, sf_dir).count()
+            REGISTRY[name](spark, rep_sf_dirs[rep]).count()
             best = min(best, time.perf_counter() - t0)
         queries[name] = round(best, 3)
+    shutil.rmtree(snap_root, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     out = {
