@@ -248,8 +248,20 @@ def run_format_benchmark(
         f"| Query | CSV (ms) | Parquet (ms) | Speedup |",
         "|---|---|---|---|",
     ]
+    slow_rows = [name for name, _c, _p, s in doc_rows if s < 1.0]
     for name, c, p, s in doc_rows:
-        lines.append(f"| {name} | {c:.0f} | {p:.0f} | {s:.1f}x |")
+        mark = " *" if name in slow_rows else ""
+        lines.append(f"| {name} | {c:.0f} | {p:.0f} | {s:.1f}x{mark} |")
+    if slow_rows:
+        lines += [
+            "",
+            f"\\* {', '.join(slow_rows)}: CSV measured faster than Parquet "
+            "on this run — at this input size both legs read the full text "
+            "payload, so the formats differ only by parse cost and the "
+            "delta is within this host's run-to-run CPU noise (CLAUDE.md: "
+            "3-10x). Re-run with a larger `--replicate` for a stable "
+            "ratio.",
+        ]
     lines += [
         "",
         "## Token table: Parquet/ZSTD vs encoded blobs (decode path)",
@@ -289,7 +301,10 @@ def main() -> None:
     ap.add_argument("--out", default="FORMAT_BENCH.md")
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--replicate", type=int, default=50)
+    # 200x sf0.1 documents ≈ 300 MB CSV / 65 MB Parquet: every timed scan
+    # is multi-second signal, not per-job overhead (the 1 MB base tables
+    # measured format-independent noise — speedup cells read 0.9-1.2x)
+    ap.add_argument("--replicate", type=int, default=200)
     args = ap.parse_args()
     from .session import get_spark
 
