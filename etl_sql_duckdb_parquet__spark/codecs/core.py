@@ -581,7 +581,12 @@ def _zstd_codec():
     return None
 
 
-def zwrap_best(blob: bytes, level: int = 6, min_ratio: float = 0.98) -> bytes:
+def zwrap_best(
+    blob: bytes,
+    level: int = 6,
+    zstd_level: int = 1,
+    min_ratio: float = 0.98,
+) -> bytes:
     """Optionally add an entropy layer on top of a finished blob.
 
     Bit-packed/dictionary output still carries residual entropy skew that a
@@ -589,17 +594,26 @@ def zwrap_best(blob: bytes, level: int = 6, min_ratio: float = 0.98) -> bytes:
     relies on: Parquet's light encodings + ZSTD on top, reference
     ``docs/benchmark_results.md:72-77``).  ZSTD (via pyarrow's bundled
     codec) is preferred — measurably smaller AND faster than DEFLATE on
-    these blobs; DEFLATE is the fallback when pyarrow lacks zstd.  Applied
-    only when it wins by ≥2%, so incompressible blobs pay one compress
-    attempt and nothing else.  Works over ANY blob (integer or string
-    containers) — decoders dispatch on the leading codec id.
+    these blobs; ``zstd_level`` is passed explicitly (default 1: on
+    already-packed blobs higher levels measured BOTH larger and slower —
+    e.g. vardict tokens: L1 0.768@789 MB/s vs L3 0.775@187 MB/s vs L6
+    0.784@68 MB/s — because match-finding beyond greedy buys nothing once
+    the light codec removed the structure).  ``level`` is the DEFLATE
+    level, used when pyarrow lacks zstd OR as a fall-through when zstd
+    compressed *something* but missed the ≥2% gate (if zstd found zero
+    redundancy, DEFLATE won't either, so fully incompressible blobs pay
+    exactly one compress attempt).  Works over ANY blob (integer or
+    string containers) — decoders dispatch on the leading codec id.
     """
     pa = _zstd_codec()
     if pa is not None:
-        z = bytes(pa.compress(blob, codec="zstd"))
+        z = bytes(
+            pa.Codec("zstd", compression_level=zstd_level).compress(blob)
+        )
         if len(z) + 17 < min_ratio * len(blob):
             return struct.pack("<BQQ", CODEC_ZSTD, len(blob), len(z)) + z
-        return blob
+        if len(z) >= len(blob):
+            return blob
     import zlib
 
     z = zlib.compress(blob, level)
@@ -616,11 +630,31 @@ def zunwrap(blob: bytes | memoryview) -> bytes:
         payload = bytes(buf[17 : 17 + zlen])
         if buf[0] == CODEC_ZSTD:
             pa = _zstd_codec()
-            if pa is None:
-                raise ValueError("zstd blob but pyarrow zstd codec unavailable")
-            inner = bytes(
-                pa.decompress(payload, decompressed_size=raw_len, codec="zstd")
-            )
+            if pa is not None:
+                inner = bytes(
+                    pa.decompress(
+                        payload, decompressed_size=raw_len, codec="zstd"
+                    )
+                )
+            else:
+                # mixed-environment safety net: a writer with zstd + a
+                # reader whose pyarrow build lacks it must still decode —
+                # fall back to the pure `zstandard` package if installed,
+                # else fail with the environment requirement spelled out
+                try:
+                    import zstandard
+                except ImportError:
+                    raise ValueError(
+                        "blob has a ZSTD entropy layer but this "
+                        "environment has no zstd decoder: install a "
+                        "pyarrow build with the zstd codec or the "
+                        "`zstandard` package (CODEC_ZSTD blobs are "
+                        "written whenever the writer's pyarrow has zstd; "
+                        "see zwrap_best)"
+                    ) from None
+                inner = zstandard.ZstdDecompressor().decompress(
+                    payload, max_output_size=raw_len
+                )
         else:
             import zlib
 

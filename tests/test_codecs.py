@@ -304,6 +304,37 @@ def test_zwrap_roundtrip_and_gate():
     assert np.array_equal(decode_int(zwrap_best(blob_y)), y)
 
 
+def test_zwrap_explicit_level_and_deflate_fallback(monkeypatch):
+    """zstd_level is honored (not silently pyarrow's default), and when
+    pyarrow lacks zstd the writer emits DEFLATE blobs that round-trip."""
+    import numpy as np
+
+    from etl_sql_duckdb_parquet__spark.codecs import core
+
+    rng = np.random.default_rng(11)
+    x = np.floor(50257 * rng.random(200_000) ** 3).astype(np.int64)
+    blob = core.encode_int_best(x)
+    for lvl in (1, 3):
+        wrapped = core.zwrap_best(blob, zstd_level=lvl)
+        assert core.zunwrap(wrapped) == blob
+        assert np.array_equal(core.decode_int(wrapped), x)
+
+    # environment without pyarrow zstd: writer falls back to DEFLATE
+    monkeypatch.setattr(core, "_zstd_codec", lambda: None)
+    wrapped = core.zwrap_best(blob)
+    assert wrapped[0] == core.CODEC_ZWRAP and len(wrapped) < len(blob)
+    assert np.array_equal(core.decode_int(wrapped), x)
+    # and a CODEC_ZSTD blob in that environment raises the documented
+    # environment-requirement error (no `zstandard` package here)
+    import struct
+
+    fake = struct.pack("<BQQ", core.CODEC_ZSTD, len(blob), 4) + b"\x00" * 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no zstd decoder"):
+        core.zunwrap(fake)
+
+
 def test_zwrap_legacy_deflate_blobs_still_decode():
     """Blobs written by the round-1 DEFLATE wrap must keep decoding after
     the switch to ZSTD (manifest resume can mix blob generations)."""
