@@ -13,12 +13,18 @@ handles the ``doc_id`` / ``source`` string columns of the token table.
 
 Both directions are vectorized numpy (no per-byte Python): compress finds
 the longest symbol match per position with one packed uint64 sort + binary
-range searches, confines matches to 1 KiB chunks, and resolves the greedy
-parse by advancing one cursor per chunk in lockstep; decompress scatters
-symbol bytes through cumsum offsets.  Warm throughput on this host:
-~6-8 MB/s compress, ~100 MB/s decompress per core (15-20x the previous
-scalar loops); inside Spark these run one task per core, so a 32-core node
-sustains ~200 MB/s encode aggregate.
+range searches (1-byte symbols via a 256-entry LUT gather), confines
+matches to 1 KiB chunks, and resolves the greedy parse by advancing one
+cursor per chunk in lockstep; decompress scatters symbol bytes through
+cumsum offsets.  Warm best-of-N throughput on this host: ~9-12 MB/s
+compress, ~100 MB/s decompress per core (the round-2 "6-8 MB/s" figure
+was cold-start contaminated — the first big numpy alloc/sort in a process
+is 20-100x slower than warm, see CLAUDE.md; a per-length searchsorted
+redesign was measured 2x SLOWER warm than the packed sort and reverted).
+Inside Spark these run one task per core, so a 32-core node sustains
+~300 MB/s encode aggregate; FSST is selector-gated to the string columns
+(doc_id/source), a few % of total bytes, so it is never the job
+bottleneck.
 
 Blob layout (little-endian)::
 
@@ -122,9 +128,8 @@ def _best_match_table(
     """
     n = arr.size
     best_len = np.ones(n, dtype=np.int64)
-    best_code = np.full(n, CODE_ESCAPE, dtype=np.uint8)
     if not symbols or n == 0:
-        return best_len, best_code
+        return best_len, np.full(n, CODE_ESCAPE, dtype=np.uint8)
     # w8be[i] = big-endian uint64 of data[i:i+8] (zero-padded at the end):
     # one contiguous sliding-window copy + byteswap beats 8 shifted ORs
     padded = np.concatenate([arr, np.zeros(MAX_SYM_LEN - 1, dtype=np.uint8)])
@@ -145,9 +150,16 @@ def _best_match_table(
 
     # (len asc, code desc): later writes overwrite, so the final winner per
     # position is the longest match, lowest code on ties — same symbol the
-    # scalar greedy parser picked.
+    # scalar greedy parser picked.  1-byte symbols skip the packed index
+    # entirely: a 256-entry LUT gather initializes best_code in one pass
+    # (they'd otherwise each extract + scatter a huge position slice).
+    lut1 = np.full(256, CODE_ESCAPE, dtype=np.uint8)
+    for code, sym in enumerate(symbols):
+        if len(sym) == 1 and lut1[sym[0]] == CODE_ESCAPE:
+            lut1[sym[0]] = code
+    best_code = lut1[arr]
     ranked = sorted(
-        ((sym, code) for code, sym in enumerate(symbols)),
+        ((sym, code) for code, sym in enumerate(symbols) if len(sym) > 1),
         key=lambda t: (len(t[0]), -t[1]),
     )
     # second-level packed sort per distinct 4-byte prefix of len>=5 symbols
@@ -157,13 +169,13 @@ def _best_match_table(
         if ln <= 4:
             val4 = int.from_bytes(sym, "big") << (8 * (4 - ln))
             lo, hi = key_range(val4, 1 << (8 * (4 - ln)))
-            sel = (packed[lo:hi] & pos_mask).astype(np.int64)
+            sel = packed[lo:hi] & pos_mask
         else:
             p4 = int.from_bytes(sym[:4], "big")
             cached = sub_cache.get(p4)
             if cached is None:
                 lo, hi = key_range(p4, 1)
-                cand = (packed[lo:hi] & pos_mask).astype(np.int64)
+                cand = packed[lo:hi] & pos_mask
                 sub = np.sort(
                     (lo4[cand] << np.uint64(32))
                     | np.arange(cand.size, dtype=np.uint64)
@@ -180,7 +192,7 @@ def _best_match_table(
                 if top >= 1 << 64
                 else int(np.searchsorted(sub, np.uint64(top), side="left"))
             )
-            sel = cand[(sub[s_lo:s_hi] & pos_mask).astype(np.int64)]
+            sel = cand[sub[s_lo:s_hi] & pos_mask]
         if ln > 1 and sel.size:
             # zero-padding must not fake a match; matches stay in-chunk
             sel = sel[(sel + ln <= n) & (sel % CHUNK + ln <= CHUNK)]
