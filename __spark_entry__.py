@@ -29,8 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL twins (same column names as the Spark queries).
 
-    Keys absent here (minhash/simhash/LSH-ANN/codec-kernel queries) are
+    Keys absent here (the xxhash-based q43 simhash kernel, LSH-ANN/IVF
+    recall queries, xxhash-dependent codec-name column) are genuinely
     non-SQL-expressible — the driver records rows-only checks; pytest
-    covers them with recall/round-trip assertions instead.
+    covers them with recall/round-trip assertions instead.  SimHash
+    itself IS oracle-checked via the md5-based twin q56.
     """
     return dict(ORACLES)

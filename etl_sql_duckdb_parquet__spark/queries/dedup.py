@@ -15,10 +15,11 @@ Scale design (the point of each variant at 100 TB):
 - SimHash: one 64-bit signature per doc; candidates from 16-bit band
   collisions, verified by exact Hamming distance.
 
-Jaccard/exact have DuckDB oracle twins; MinHash/SimHash results depend on
-xxhash64, which DuckDB lacks → rows-only driver check (allowed for
-non-SQL-expressible ops), with pytest asserting candidate-recall against
-the exact Jaccard answer instead.
+Jaccard/exact have DuckDB oracle twins.  q43's fast SimHash kernel uses
+xxhash64, which DuckDB lacks → rows-only driver check, with pytest
+asserting collision behavior; q56 is the oracle-checked SimHash twin —
+its word hash is md5-derived so DuckDB reproduces the signatures
+bit-for-bit and the driver gate hash-compares the pairs.
 """
 
 from __future__ import annotations
@@ -214,18 +215,17 @@ def _simhash_batch(iterator):
         )
 
 
-def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band candidates + exact Hamming ≤ 8.
+def _simhash_band_pairs(sigs: DataFrame, band_bits: int) -> DataFrame:
+    """Banded candidate join + exact-Hamming verify over (doc_id, simhash).
 
-    Rows-only driver check; the signature kernel is an Arrow-batched
-    mapInPandas (numpy bit math, no per-row Python in the hash loop).
+    4 bands of ``band_bits`` bits each; only docs colliding in some band
+    are paired, so the self-join touches candidate pairs, not all pairs.
     """
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = docs.mapInPandas(_simhash_batch, "doc_id long, simhash long")
+    mask = (1 << band_bits) - 1
     bands = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(
-                F.lit(0xFFFF)
+            F.shiftrightunsigned(F.col("simhash"), band_bits * b).bitwiseAND(
+                F.lit(mask)
             )
             for b in range(4)
         ]
@@ -260,7 +260,109 @@ def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band candidates + exact Hamming ≤ 8.
+
+    Rows-only driver check; the signature kernel is an Arrow-batched
+    mapInPandas (numpy bit math, no per-row Python in the hash loop).
+    q56 is the oracle-checked twin (md5-derived hashes both engines can
+    compute); this variant keeps the fast vectorized-xxhash kernel.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.mapInPandas(_simhash_batch, "doc_id long, simhash long")
+    return _simhash_band_pairs(sigs, band_bits=16)
+
+
+_SIMHASH_SQL_BITS = 60  # 15 hex chars of md5 — fits signed 64-bit in both engines
+
+
+def q56_simhash_sql_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a bit-identical DuckDB oracle.
+
+    Same banded-candidate + Hamming-verify shape as q43, but the word
+    hash is the first 60 bits of md5(word) — a hash both engines share —
+    so signatures and pairs are exactly reproducible in ANSI SQL and the
+    driver gate can hash-compare them (q43's xxhash kernel cannot be).
+
+    Scale design: everything is JVM built-ins — one explode, one
+    groupBy(doc_id) with 60 small integer aggregates (map-side partial
+    agg; ~480 bytes of agg state per doc), then the same 4-band
+    self-join as q43.  No Python in the plan; survives 100× the same way
+    q43 does.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    bits = words.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_SQL_BITS)
+    ]
+    sig = None
+    for b in range(_SIMHASH_SQL_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = (
+        bits.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", sig.cast("long").alias("simhash"))
+    )
+    return _simhash_band_pairs(sigs, band_bits=15)
+
+
+# q56's oracle is generated: 60 per-bit sums + the signature fold, kept
+# textually in lockstep with the Spark plan above.
+_S56_SUMS = ",\n                   ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}"
+    for b in range(_SIMHASH_SQL_BITS)
+)
+_S56_SIG = "\n                 + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+    for b in range(_SIMHASH_SQL_BITS)
+)
+
 DEDUP_ORACLES: dict[str, str] = {
+    "q56_simhash_sql_pairs": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+            FROM w
+        ),
+        s AS (
+            SELECT doc_id,
+                   {_S56_SUMS}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST({_S56_SIG} AS BIGINT) AS simhash
+            FROM s
+        ),
+        b AS (
+            SELECT doc_id, simhash, i AS band_idx,
+                   (simhash >> (15 * CAST(i AS INT))) & 32767 AS band_val
+            FROM sig, unnest(range(0, 4)) AS u(i)
+        )
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM b x
+        JOIN b y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+                AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY a_id, b_id
+    """,
     "q40_exact_dup_groups": """
         WITH g AS (
             SELECT md5(text) AS h, count(*) AS n

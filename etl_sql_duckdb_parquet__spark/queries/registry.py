@@ -6,18 +6,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, dedup, encode_queries, multimodal, similarity, textops
+from . import (
+    analytics,
+    dedup,
+    encode_queries,
+    multimodal,
+    similarity,
+    streaming_agg,
+    textops,
+)
 from .analytics_oracles import ANALYTICS_ORACLES
 from .dedup import DEDUP_ORACLES
 from .encode_queries import ENCODE_ORACLES
 from .multimodal import MULTIMODAL_ORACLES
 from .similarity import SIMILARITY_ORACLES
+from .streaming_agg import STREAMING_AGG_ORACLES
 from .textops import TEXTOPS_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, QueryFn] = {}
-for mod in (analytics, textops, dedup, similarity, multimodal, encode_queries):
+for mod in (
+    analytics,
+    textops,
+    dedup,
+    similarity,
+    multimodal,
+    encode_queries,
+    streaming_agg,
+):
     for name in dir(mod):
         if name.startswith("q") and name[1:3].isdigit():
             REGISTRY[name] = getattr(mod, name)
@@ -30,6 +47,7 @@ for oracles in (
     SIMILARITY_ORACLES,
     MULTIMODAL_ORACLES,
     ENCODE_ORACLES,
+    STREAMING_AGG_ORACLES,
 ):
     ORACLES.update(oracles)
 

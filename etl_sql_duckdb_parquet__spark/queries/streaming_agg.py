@@ -1,0 +1,91 @@
+"""Structured-Streaming windowed aggregation with event-time watermark.
+
+q57 runs a REAL streaming query (file source → watermark → tumbling
+window → append-mode memory sink, ``Trigger.AvailableNow``) and returns
+the emitted result as a batch DataFrame, so the driver gate can
+hash-compare it against a DuckDB oracle.  Append mode + watermark means
+only windows finalized by the final watermark (max event time − 1 h) are
+emitted — the oracle reproduces exactly that set, proving the streaming
+semantics (late-data bound, state finalization), not just the arithmetic.
+
+Scale design: this is the canonical unbounded-ingest plan — per-window
+state is bounded by the watermark (state store evicts finalized windows),
+partial aggregation happens map-side before the shuffle on
+(window, event_type), and the same code runs untouched against a Kafka
+or file-landing source on a real cluster.  The reference's closest
+surface is its batch scheduler loop (``src/scheduler.py:17-131``);
+this replaces polling with exactly-once streaming semantics.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def q57_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup emitted by an append-mode streaming query.
+
+    Windows still open at end-of-stream (end > max(ts) − 1 h watermark)
+    are correctly withheld — asserting on the emitted set IS asserting
+    the watermark semantics.
+    """
+    path = f"{sf_dir}/events.parquet"
+    sch = spark.read.parquet(path).schema
+    # The file streaming source wants a directory to watch; scope it to
+    # the events file with a glob filter (in production this is the
+    # landing directory and the filter matches the table's file pattern).
+    src = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require an instant (TIMESTAMP) column; the testdata `ts`
+    # is TIMESTAMP_NTZ.  The session timezone is UTC (session.py), so the
+    # NTZ→instant→NTZ round-trip is the identity and window boundaries
+    # align with DuckDB's naive hour buckets.
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    qname = f"q57_mem_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("window_start", "event_type")
+
+
+STREAMING_AGG_ORACLES: dict[str, str] = {
+    # Emitted set = windows whose END is <= the final watermark
+    # (max(ts) - 1 hour); time_bucket floors to the same hour boundaries
+    # as Spark's window().
+    "q57_streaming_hourly_rollup": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events, wm
+        GROUP BY window_start, event_type, wm.w
+        HAVING window_start + INTERVAL 1 HOUR <= wm.w
+        ORDER BY window_start, event_type
+    """,
+}

@@ -108,6 +108,15 @@ def test_q42_lsh_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q56_simhash_sql_is_not_cartesian_and_stays_jvm(spark):
+    """The oracle-checked SimHash twin must pair via the band join (no
+    cartesian) and keep the signature math in JVM built-ins (no Python
+    eval nodes in the plan)."""
+    plan = plan_of(REGISTRY["q56_simhash_sql_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_q55_neardup_is_not_cartesian(spark):
     plan = plan_of(REGISTRY["q55_embedding_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
