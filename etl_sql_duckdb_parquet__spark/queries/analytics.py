@@ -532,3 +532,36 @@ def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         F.max("n_events").alias("max_events_per_session"),
     )
+
+
+# --- ROLLUP subtotals + grand total in one aggregation pass.  Catalyst
+# plans rollup as a single Expand + hash-aggregate: one shuffle, no
+# second scan for the subtotal levels — the multi-level report pattern
+# the reference builds with separate UNION'd queries (sql/queries.sql
+# report section) collapsed into one job.
+def q59_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("gid", "r_name", "c_mktsegment")
+    )

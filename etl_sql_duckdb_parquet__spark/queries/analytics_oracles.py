@@ -341,4 +341,17 @@ ANALYTICS_ORACLES: dict[str, str] = {
         WHERE o_orderkey <= 50
         ORDER BY o_orderkey
     """,
+    "q59_rollup_revenue": """
+        SELECT coalesce(r_name, 'ALL') AS r_name,
+               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+               CAST(GROUPING(r_name, c_mktsegment) AS INT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, c_mktsegment)
+        ORDER BY gid, r_name, c_mktsegment
+    """,
 }

@@ -1,0 +1,111 @@
+"""As-of join — a custom operator Spark's DataFrame API lacks.
+
+Implemented as the canonical distributed union-and-window algorithm:
+tag both inputs, union them on (key, time), then a running
+``last(..., ignorenulls=True)`` window carries the most recent
+right-side row forward onto each left-side row.  Cost = ONE shuffle on
+the join key + a sort within partitions — no range-explosion join, no
+per-key driver loop, and skew behaves exactly like any keyed window
+(bounded by the largest single key's row count).
+
+DuckDB has a native ``ASOF JOIN``, which is the oracle: the Spark
+composition must reproduce it row-for-row (inclusive ``>=`` match
+semantics; ties on the right side are pre-deduplicated to the max
+event_id in BOTH engines so the match is well-defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Attach, to every ``left`` row, the latest ``right`` row of the same
+    ``key`` with ``right_ts <= left_ts`` (null columns when none exists).
+
+    ``right`` must be unique per (key, right_ts).  Output = all ``left``
+    columns plus ``right``'s non-key columns.
+    """
+    rcols = [c for c in right.columns if c not in (key,)]
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(c) for c in lcols if c != key],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
+        *[F.col(c).alias(c) for c in rcols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal time (_side 0 < 1), which
+    # implements the inclusive <= match.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        key,
+        "_t",
+        "_side",
+        *[c for c in lcols if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_t", "_side")
+
+
+def q58_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase → most-recent-prior-click attribution per user (as-of).
+
+    The classic clickstream as-of join; oracle is DuckDB's native
+    ``ASOF LEFT JOIN``.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "click_ts", "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return joined.select(
+        "purchase_id", "user_id", "ts", "click_id", "click_ts"
+    ).orderBy("purchase_id")
+
+
+ASOF_ORACLES: dict[str, str] = {
+    "q58_asof_click_attribution": """
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id AS purchase_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY purchase_id
+    """,
+}

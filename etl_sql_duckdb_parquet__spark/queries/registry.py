@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytics,
+    asof,
     dedup,
     encode_queries,
     multimodal,
@@ -16,6 +17,7 @@ from . import (
     textops,
 )
 from .analytics_oracles import ANALYTICS_ORACLES
+from .asof import ASOF_ORACLES
 from .dedup import DEDUP_ORACLES
 from .encode_queries import ENCODE_ORACLES
 from .multimodal import MULTIMODAL_ORACLES
@@ -28,6 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, QueryFn] = {}
 for mod in (
     analytics,
+    asof,
     textops,
     dedup,
     similarity,
@@ -42,6 +45,7 @@ for mod in (
 ORACLES: dict[str, str] = {}
 for oracles in (
     ANALYTICS_ORACLES,
+    ASOF_ORACLES,
     TEXTOPS_ORACLES,
     DEDUP_ORACLES,
     SIMILARITY_ORACLES,

@@ -117,6 +117,24 @@ def test_q56_simhash_sql_is_not_cartesian_and_stays_jvm(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_q58_asof_is_single_keyed_window_not_range_join(spark):
+    """The as-of join must be the union-and-window composition: no
+    cartesian/broadcast-nested-loop range join, and a Window over the
+    join key present in the plan."""
+    plan = plan_of(REGISTRY["q58_asof_click_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q59_rollup_is_single_pass_expand(spark):
+    """ROLLUP must plan as one Expand + aggregate, not unioned rescans:
+    exactly one scan of the orders table."""
+    plan = plan_of(REGISTRY["q59_rollup_revenue"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") <= 1
+
+
 def test_q55_neardup_is_not_cartesian(spark):
     plan = plan_of(REGISTRY["q55_embedding_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
