@@ -93,7 +93,61 @@ def q58_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+def q60_range_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase count of same-user clicks in the preceding hour.
+
+    Range join expressed as a value-range window frame
+    (``rangeBetween(-3600, 0)`` over epoch seconds) — one keyed shuffle,
+    no inequality join (which Spark would plan as a broadcast-nested-loop
+    at any scale).  Epoch seconds are floor-truncated identically in both
+    engines so the frame boundaries agree exactly.
+    """
+    ev = t(spark, sf_dir, "events")
+    # NTZ won't cast to long under ANSI; route through TIMESTAMP (UTC
+    # session; truncation = floor for positive epochs, matching the
+    # oracle's floor(epoch(ts))).
+    sec = F.col("ts").cast("timestamp").cast("long")
+    e = ev.select("event_id", "user_id", "event_type", "ts", sec.alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    clicks = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).over(w)
+    return (
+        e.withColumn("clicks_1h", clicks)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.col("clicks_1h").cast("long").alias("clicks_1h"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 ASOF_ORACLES: dict[str, str] = {
+    "q60_range_window_clicks": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, event_type, ts,
+                   count(*) FILTER (event_type = 'click') OVER (
+                       PARTITION BY user_id ORDER BY sec
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ) AS clicks_1h
+            FROM e
+        )
+        SELECT event_id AS purchase_id, user_id, ts,
+               CAST(clicks_1h AS BIGINT) AS clicks_1h
+        FROM w WHERE event_type = 'purchase' ORDER BY purchase_id
+    """,
     "q58_asof_click_attribution": """
         WITH clicks AS (
             SELECT user_id, ts AS click_ts, max(event_id) AS click_id

@@ -32,6 +32,10 @@ def q57_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are correctly withheld — asserting on the emitted set IS asserting
     the watermark semantics.
     """
+    # Hour-bucket alignment and the NTZ→instant cast below depend on the
+    # session timezone; pin it (runtime conf) so the emitted windows
+    # match the UTC-naive DuckDB oracle regardless of caller defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     sch = spark.read.parquet(path).schema
     # The file streaming source wants a directory to watch; scope it to

@@ -135,6 +135,15 @@ def test_q59_rollup_is_single_pass_expand(spark):
     assert plan.count("orders.parquet") <= 1
 
 
+def test_q60_range_join_is_window_not_nested_loop(spark):
+    """The 1-hour range join must be a value-range window frame, not an
+    inequality join (BroadcastNestedLoop/Cartesian)."""
+    plan = plan_of(REGISTRY["q60_range_window_clicks"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
 def test_q55_neardup_is_not_cartesian(spark):
     plan = plan_of(REGISTRY["q55_embedding_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
