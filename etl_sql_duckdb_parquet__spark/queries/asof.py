@@ -33,7 +33,10 @@ def asof_join(
     ``key`` with ``right_ts <= left_ts`` (null columns when none exists).
 
     ``right`` must be unique per (key, right_ts).  Output = all ``left``
-    columns plus ``right``'s non-key columns.
+    columns plus ``right``'s non-key columns.  The carried right row is
+    a single struct through the window, so a NULL field in a matched
+    right row stays NULL instead of falling back to an older row's
+    value (row atomicity).
     """
     rcols = [c for c in right.columns if c not in (key,)]
     lcols = [c for c in left.columns]
@@ -59,14 +62,21 @@ def asof_join(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rstruct = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in rcols])
+    )
     carried = u.select(
         key,
         "_t",
         "_side",
         *[c for c in lcols if c != key],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(rstruct, ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_t", "_side")
+    return carried.filter(F.col("_side") == 1).select(
+        key,
+        *[c for c in lcols if c != key],
+        *[F.col(f"_r.{c}").alias(c) for c in rcols],
+    )
 
 
 def q58_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,3 +170,45 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert len(approx) == 50
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.7, f"IVF recall {recall} below floor"
+
+
+def test_asof_join_edge_semantics(spark):
+    """The asof_join helper: inclusive <= match at equal timestamps,
+    latest-prior selection, and null right columns when no match."""
+    from datetime import datetime
+
+    from etl_sql_duckdb_parquet__spark.queries.asof import asof_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 1, 0, 0)
+    t2 = datetime(2024, 1, 1, 2, 0, 0)
+    left = spark.createDataFrame(
+        [
+            (1, t1, "match-equal"),      # right row exactly at t1 → inclusive
+            (1, t2, "match-latest"),     # two prior rows → the later one wins
+            (2, t0, "no-match"),         # right rows only at later times
+            (3, t2, "null-field"),       # matched row carries its NULL field
+        ],
+        "k int, ts timestamp_ntz, label string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0, 100),
+            (1, t1, 200),
+            (2, t2, 300),
+            (3, t0, 400),
+            (3, t1, None),
+        ],
+        "k int, rts timestamp_ntz, rv int",
+    )
+    out = {
+        r["label"]: r
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out["match-equal"]["rv"] == 200 and out["match-equal"]["rts"] == t1
+    assert out["match-latest"]["rv"] == 200
+    assert out["no-match"]["rv"] is None and out["no-match"]["rts"] is None
+    # row atomicity: the t1 match's NULL rv must not fall back to 400
+    assert out["null-field"]["rts"] == t1 and out["null-field"]["rv"] is None
