@@ -29,6 +29,7 @@ no-op the second pass).  The scheme is recorded in the output JSON
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -96,6 +97,10 @@ def main() -> None:
     # (CLAUDE.md), so repeat 2+ must scan a different path to honestly
     # redo the work
     snap_root = tempfile.mkdtemp(prefix="bench_sfsnap_")
+    # backstop: an exception/Ctrl-C mid-bench must not strand repeats-1
+    # full sf-dir copies in TMPDIR (tmpfs RAM under the documented
+    # /dev/shm recipe); the success path still removes them eagerly
+    atexit.register(shutil.rmtree, snap_root, ignore_errors=True)
     rep_sf_dirs = [sf_dir] + [
         os.path.join(snap_root, f"rep{r}") for r in range(1, repeats)
     ]

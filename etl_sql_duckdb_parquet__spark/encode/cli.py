@@ -57,10 +57,10 @@ def main(argv: list[str] | None = None) -> dict:
                          "this dir via Structured Streaming (exactly-once; "
                          "re-invoke as new files land — the stream checkpoint "
                          "under --out skips files already ingested)")
-    ap.add_argument("--available-now", dest="available_now",
-                    action="store_true", default=True,
-                    help="streaming mode: catch up on available files, then "
-                         "exit (the default; the scheduled-ingestion shape)")
+    # The CLI always drains with Trigger.AvailableNow (catch up on
+    # available files, then exit — the scheduled-ingestion shape); the
+    # long-running continuous mode is a library capability
+    # (streaming.incremental.encode_stream(available_now=False)).
     ap.add_argument("--stream-timeout", type=int, default=600,
                     help="streaming mode: max seconds to wait for the drain")
     args = ap.parse_args(argv)
@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> dict:
     spark = get_spark(cores=args.cores)
 
     if args.stream_input_dir:
-        from ..streaming.incremental import run_available_now
+        from ..streaming.incremental import TOKEN_SCHEMA, run_available_now
 
         t0 = time.perf_counter()
         run_available_now(
@@ -90,9 +90,9 @@ def main(argv: list[str] | None = None) -> dict:
             "drain_wall_s": round(time.perf_counter() - t0, 3),
         }
         if not args.no_verify:
-            src = spark.read.schema(
-                "doc_id string, tokens array<int>, n_tok int, source string"
-            ).parquet(args.stream_input_dir)
+            src = spark.read.schema(TOKEN_SCHEMA).parquet(
+                args.stream_input_dir
+            )
             decoded = decode_token_table(spark, args.out, snapshots="all")
             v = verify_roundtrip(src, decoded)
             stats["verified_ok"] = v["ok"]

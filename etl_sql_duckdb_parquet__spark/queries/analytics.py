@@ -511,10 +511,12 @@ def q26_audit_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ → epoch seconds: NTZ won't cast to long directly under
-    # ANSI; route through TIMESTAMP (session tz is pinned UTC, and the
-    # subtraction cancels any offset anyway)
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # TIMESTAMP_NTZ → epoch seconds purely in NTZ arithmetic: no
+    # session-timezone dependence (a DST-spanning dataset would shift
+    # cast-based gaps by the transition amount)
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
     gap = epoch - F.lag(epoch).over(w)
     marked = ev.withColumn(
         "new_session",

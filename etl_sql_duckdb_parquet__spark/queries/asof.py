@@ -113,10 +113,13 @@ def q60_range_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the frame boundaries agree exactly.
     """
     ev = t(spark, sf_dir, "events")
-    # NTZ won't cast to long under ANSI; route through TIMESTAMP (UTC
-    # session; truncation = floor for positive epochs, matching the
-    # oracle's floor(epoch(ts))).
-    sec = F.col("ts").cast("timestamp").cast("long")
+    # Epoch seconds computed purely in NTZ arithmetic (timestampdiff over
+    # NTZ operands) — no session-timezone dependence, and whole-second
+    # truncation matches the oracle's floor(epoch(ts)) for positive
+    # epochs.
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
     e = ev.select("event_id", "user_id", "event_type", "ts", sec.alias("sec"))
     w = (
         Window.partitionBy("user_id")

@@ -205,11 +205,12 @@ def q46_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_VECTORS = """
+_SQL_VECTORS = f"""
     v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
+        WHERE len(embedding) = {_DIM}
     ),
     n AS (
         SELECT vec_id, vec,
@@ -447,11 +448,10 @@ def train_kmeans_cells(
         )
         bc.destroy()
         new = cent.copy()
-        cnt = np.zeros(cent.shape[0])
         for r in rows:
             new[r["cell"]] = np.asarray(r["s"], dtype=np.float64)
-            cnt[r["cell"]] = r["n"]
-        # cells with no assignments keep their previous centroid
+        # cells absent from `rows` (no assignments) keep their previous
+        # centroid because `new` starts as a copy
         norms = np.maximum(np.linalg.norm(new, axis=1), 1e-12)
         cent = new / norms[:, None]
     return cent

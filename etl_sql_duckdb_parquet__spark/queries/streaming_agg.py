@@ -32,48 +32,63 @@ def q57_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are correctly withheld — asserting on the emitted set IS asserting
     the watermark semantics.
     """
-    # Hour-bucket alignment and the NTZ→instant cast below depend on the
-    # session timezone; pin it (runtime conf) so the emitted windows
-    # match the UTC-naive DuckDB oracle regardless of caller defaults.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Drop memory-sink views left by earlier invocations in this session
+    # (each call gets a fresh name; old ones would otherwise pin their
+    # full result sets in driver memory for the session's lifetime).
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("q57_mem_"):
+            spark.catalog.dropTempView(tbl.name)
     path = f"{sf_dir}/events.parquet"
-    sch = spark.read.parquet(path).schema
-    # The file streaming source wants a directory to watch; scope it to
-    # the events file with a glob filter (in production this is the
-    # landing directory and the filter matches the table's file pattern).
-    src = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # Watermarks require an instant (TIMESTAMP) column; the testdata `ts`
-    # is TIMESTAMP_NTZ.  The session timezone is UTC (session.py), so the
-    # NTZ→instant→NTZ round-trip is the identity and window boundaries
-    # align with DuckDB's naive hour buckets.
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        src.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
     qname = f"q57_mem_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Hour-bucket alignment and the NTZ→instant cast depend on the
+    # session timezone (bound at plan analysis and captured by the
+    # streaming query at start); pin it to UTC for the build+run and
+    # restore the caller's setting afterwards (the sink then holds
+    # materialized NTZ results, which collect timezone-free).
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        sch = spark.read.parquet(path).schema
+        # The file streaming source wants a directory to watch; scope it
+        # to the events file with a glob filter (in production this is
+        # the landing directory and the filter matches the table's file
+        # pattern).
+        src = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # Watermarks require an instant (TIMESTAMP) column; the testdata
+        # `ts` is TIMESTAMP_NTZ.  Under the pinned UTC timezone the
+        # NTZ→instant→NTZ round-trip is the identity and window
+        # boundaries align with DuckDB's naive hour buckets.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
     return spark.table(qname).orderBy("window_start", "event_type")
 
 
