@@ -120,9 +120,12 @@ def _run_stages(
             )
             # null-safe compare: a row flagged because its key IS NULL must
             # still match its own (NULL) error key, else it would leak into
-            # the curated load
+            # the curated load.  No broadcast hint: error-key cardinality
+            # is input-scale in the worst case (a systemically bad feed),
+            # so let AQE pick — a shuffled semi/anti on the key is the
+            # scale-safe plan, and AQE still broadcasts small sets.
             quarantined = df.join(
-                F.broadcast(bad_keys),
+                bad_keys,
                 df[spec.key].cast("string").eqNullSafe(bad_keys[spec.key]),
                 "left_semi",
             )
@@ -130,7 +133,7 @@ def _run_stages(
                 quarantined, os.path.join(out_dir, "quarantine", name)
             )
             df = df.join(
-                F.broadcast(bad_keys),
+                bad_keys,
                 df[spec.key].cast("string").eqNullSafe(bad_keys[spec.key]),
                 "left_anti",
             )
