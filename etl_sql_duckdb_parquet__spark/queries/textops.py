@@ -131,7 +131,72 @@ def q34_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic split thresholds: integer fractions of the 60-bit hash
+# space (exact in both engines, no float division anywhere)
+_SPLIT_SEED = "split-v1"
+_T_TRAIN = (1 << 60) * 4 // 5  # 80%
+_T_VAL = (1 << 60) * 9 // 10   # +10%; remainder = test
+
+
+def q61_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by salted md5 fraction.
+
+    The canonical training-data split: each document's fate is a pure
+    function of (seed, doc_id) — stable across runs, re-shufflable by
+    bumping the seed, no RNG state to coordinate across executors, and
+    joins/filters on the split column stay embarrassingly parallel.  The
+    60-bit md5 prefix is computable bit-identically in DuckDB, so the
+    assignment itself (not just the counts' shape) is oracle-checked.
+    """
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_SPLIT_SEED + ":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h < _T_TRAIN, "train")
+        .when(h < _T_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.groupBy("source", split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 TEXTOPS_ORACLES: dict[str, str] = {
+    "q61_deterministic_split": f"""
+        WITH h AS (
+            SELECT source, n_chars,
+                   CAST('0x' || substr(
+                       md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)),
+                       1, 15) AS BIGINT) AS hv
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN hv < {_T_TRAIN} THEN 'train'
+                    WHEN hv < {_T_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM h
+        GROUP BY source, split
+        ORDER BY source, split
+    """,
     "q30_token_counts": """
         WITH per_doc AS (
             SELECT source,
