@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import epoch_seconds_ntz, t
 
 
 # --- Q1 family: left join + multi COUNT DISTINCT (ref sql/queries.sql:4-12)
@@ -511,12 +511,7 @@ def q26_audit_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q27_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ → epoch seconds purely in NTZ arithmetic: no
-    # session-timezone dependence (a DST-spanning dataset would shift
-    # cast-based gaps by the transition amount)
-    epoch = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-    )
+    epoch = epoch_seconds_ntz(F.col("ts"))
     gap = epoch - F.lag(epoch).over(w)
     marked = ev.withColumn(
         "new_session",

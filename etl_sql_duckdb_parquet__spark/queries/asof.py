@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import epoch_seconds_ntz, t
 
 
 def asof_join(
@@ -38,21 +38,22 @@ def asof_join(
     right row stays NULL instead of falling back to an older row's
     value (row atomicity).
     """
-    rcols = [c for c in right.columns if c not in (key,)]
-    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c != key]
+    lcols = [c for c in left.columns if c != key]
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
     l_tagged = left.select(
         F.col(key),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.col(c).alias(c) for c in lcols if c != key],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
     )
     r_tagged = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
-        *[F.col(c).alias(c) for c in rcols],
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at equal time (_side 0 < 1), which
@@ -69,12 +70,12 @@ def asof_join(
         key,
         "_t",
         "_side",
-        *[c for c in lcols if c != key],
+        *lcols,
         F.last(rstruct, ignorenulls=True).over(w).alias("_r"),
     )
     return carried.filter(F.col("_side") == 1).select(
         key,
-        *[c for c in lcols if c != key],
+        *lcols,
         *[F.col(f"_r.{c}").alias(c) for c in rcols],
     )
 
@@ -113,13 +114,7 @@ def q60_range_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the frame boundaries agree exactly.
     """
     ev = t(spark, sf_dir, "events")
-    # Epoch seconds computed purely in NTZ arithmetic (timestampdiff over
-    # NTZ operands) — no session-timezone dependence, and whole-second
-    # truncation matches the oracle's floor(epoch(ts)) for positive
-    # epochs.
-    sec = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-    )
+    sec = epoch_seconds_ntz(F.col("ts"))
     e = ev.select("event_id", "user_id", "event_type", "ts", sec.alias("sec"))
     w = (
         Window.partitionBy("user_id")

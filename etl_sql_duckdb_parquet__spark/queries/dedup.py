@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import md5_60bit, t
 
 N_MINHASH = 16
 LSH_ROWS_PER_BAND = 4  # 4 bands of 4
@@ -297,8 +297,7 @@ def q56_simhash_sql_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("w"),
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    bits = words.select("doc_id", h.alias("h"))
+    bits = words.select("doc_id", md5_60bit(F.col("w")).alias("h"))
     aggs = [
         F.sum(
             F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1

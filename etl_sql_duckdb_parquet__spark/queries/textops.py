@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import md5_60bit, t
 
 _WORD_RE = "[a-z0-9]+"
 _STOP_RE = r"\b(the|a|of|data|value)\b"
@@ -149,20 +149,9 @@ def q61_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment itself (not just the counts' shape) is oracle-checked.
     """
     docs = t(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_SPLIT_SEED + ":"),
-                    F.col("doc_id").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_60bit(
+        F.concat(F.lit(_SPLIT_SEED + ":"), F.col("doc_id").cast("string"))
+    )
     split = (
         F.when(h < _T_TRAIN, "train")
         .when(h < _T_VAL, "val")
