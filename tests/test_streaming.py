@@ -138,3 +138,79 @@ def test_incremental_encode_rerun_is_noop(spark, tmp_path):
 
     run_available_now(spark, landing, out, target_tokens=20_000)
     assert spark.read.parquet(manifest_path).count() == rows_before
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """Append-mode windowed agg + 1h watermark (the q57 pipeline shape):
+    an event arriving after its window was flushed in an earlier
+    micro-batch must be dropped by the watermark — the finalized window
+    keeps its on-time count and no duplicate window row is emitted."""
+    import shutil as _sh
+    from datetime import datetime
+
+    def _ev(h, m):
+        return (datetime(2024, 1, 1, h, m), "click", 1.0)
+
+    sch = "ts timestamp_ntz, event_type string, value double"
+    waves = [
+        # batch 0: hours 0-5 on time -> end-of-batch watermark 4:30
+        [_ev(h, m) for h in range(6) for m in (10, 20, 30)],
+        # batch 1: one on-time event; flushes hours 0-3 under wm 4:30
+        [_ev(5, 40)],
+        # batch 2: 1:40 is late (window already flushed+evicted) and must
+        # be dropped; 7:10 advances the watermark so hours 4-5 flush
+        [_ev(1, 40), _ev(7, 10)],
+    ]
+
+    landing = tmp_path / "wm_landing"
+    landing.mkdir()
+    for i, rows in enumerate(waves):
+        stage = str(tmp_path / f"wm_stage{i}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        dst = landing / f"f{i}.parquet"
+        _sh.copy(os.path.join(stage, part), dst)
+        # distinct mtimes pin the file-source processing order
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        src = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(str(landing))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.hour(F.col("win.start")).alias("h"), "n_events")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_late_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("wm_late_test").collect()
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+        spark.catalog.dropTempView("wm_late_test")
+
+    got = sorted((r["h"], r["n_events"]) for r in rows)
+    # hour 1 keeps its on-time count of 3 (late 1:40 dropped, counted by
+    # the state operator), hour 5 includes the on-time 5:40, hour 7 stays
+    # open (not emitted), and no window appears twice
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3), (4, 3), (5, 4)]
+    assert dropped == 1
