@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..codecs import decode_int, decode_strings
-from .manifest import blobs_path, read_manifest
+from .manifest import blobs_path, plan_path, read_manifest
 
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -159,6 +159,7 @@ def decode_token_table(
     out_dir: str,
     snapshots: str = "latest",
     columns: list[str] | None = None,
+    parts: list[int] | None = None,
 ) -> DataFrame:
     """Blobs + manifest → (doc_id, tokens, n_tok, source).
 
@@ -183,11 +184,79 @@ def decode_token_table(
             if b not in needed:
                 needed.append(b)
     schema = ", ".join(f"{c} {_COLUMN_TYPES[c][0]}" for c in cols)
-    return (
-        winning_blobs(spark, out_dir, snapshots)
-        .select(*needed)
-        .mapInArrow(_make_decoder(cols), schema)
+    blobs = winning_blobs(spark, out_dir, snapshots)
+    if parts is not None:
+        # partition pruning: the IN filter pushes through the winners
+        # join to the blob scan (parquet row-group stats skip the rest)
+        blobs = blobs.filter(F.col("part_id").isin([int(p) for p in parts]))
+    return blobs.select(*needed).mapInArrow(_make_decoder(cols), schema)
+
+
+def candidate_parts(
+    spark: SparkSession, out_dir: str, doc_ids: list[str]
+) -> list[int]:
+    """Partitions that can contain the given doc ids, from the persisted
+    plan: ``part_id = offset + pmod(xxhash64(doc_id), salts)`` — one
+    candidate per (doc, source, plan) instead of the whole store."""
+    import os as _os
+
+    ppath = plan_path(out_dir)
+    if not _os.path.exists(ppath):
+        raise FileNotFoundError(
+            f"no partition plan under {out_dir} — the store predates "
+            "lookup support; re-encode (or decode fully and filter)"
+        )
+    plan = (
+        spark.read.parquet(ppath)
+        .select("snapshot_id", "source", "offset", "salts")
+        .distinct()
     )
+    ids = spark.createDataFrame(
+        [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"
+    )
+    cand = (
+        ids.crossJoin(plan)
+        .select(
+            (
+                F.col("offset") + F.pmod(F.xxhash64("doc_id"), F.col("salts"))
+            )
+            .cast("int")
+            .alias("part_id")
+        )
+        .distinct()
+    )
+    return sorted(r["part_id"] for r in cand.collect())
+
+
+def lookup_docs(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: list[str],
+    snapshots: str = "latest",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Point lookup: decode ONLY the partitions that can contain the ids.
+
+    The encode partitioning is a pure function of (source, doc_id) — the
+    persisted plan replays it, so a k-id lookup against a store of P
+    partitions decodes at most ``k × sources × snapshots`` partitions, not
+    P (the hash-partitioned answer to what zone maps do for range-
+    partitioned stores).  Candidate part ids across snapshots are unioned
+    (a part id needed for one snapshot also selects the same id in
+    others — superset, filtered by the doc-id semi-join below, so the
+    result is exact).  ``doc_ids`` is broadcast: point lookups are by
+    definition metadata-sized; for bulk id sets use a decode + join.
+    """
+    cols = columns
+    if cols is not None and "doc_id" not in cols:
+        cols = ["doc_id", *cols]
+    parts = candidate_parts(spark, out_dir, doc_ids)
+    decoded = decode_token_table(spark, out_dir, snapshots, cols, parts=parts)
+    ids = spark.createDataFrame(
+        [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"
+    )
+    out = decoded.join(F.broadcast(ids), "doc_id", "left_semi")
+    return out.select(*columns) if columns is not None else out
 
 
 def verify_roundtrip(src: DataFrame, decoded: DataFrame) -> dict:

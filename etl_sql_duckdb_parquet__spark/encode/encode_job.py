@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..codecs import encode_strings
 from ..codecs.core import encode_int_best, encode_int_best_with_stats
 from ..codecs.core import CODEC_IDS, codec_of, zunwrap, zwrap_best
-from .manifest import append_manifest, blobs_path, completed_parts
+from .manifest import append_manifest, blobs_path, completed_parts, plan_path
 
 DEFAULT_TARGET_TOKENS = 2_000_000
 
@@ -86,14 +86,21 @@ def plan_partitions(
     target_tokens: int = DEFAULT_TARGET_TOKENS,
     by_source: bool = True,
     shares: list | None = None,
-) -> tuple[DataFrame, int]:
-    """Assign an explicit ``part_id`` to every doc; returns (df, n_parts).
+) -> tuple[DataFrame, int, list]:
+    """Assign an explicit ``part_id`` to every doc; returns
+    (df, n_parts, plan_rows).
 
     ``by_source=True``: contiguous part-id ranges per source, salted by
     doc-id hash, salt count ∝ the source's token mass (skew-proof).
     ``by_source=False``: plain uniform ``xxhash64(doc_id) mod n``.
     ``shares``: precomputed per-source rows from :func:`input_stats`
     (avoids an extra input scan).
+
+    ``plan_rows`` is the deterministic doc→partition mapping as
+    ``(source, offset, salts)`` tuples (``(None, 0, n_parts)`` for the
+    uniform plan): ``part_id = offset + pmod(xxhash64(doc_id), salts)``.
+    Persisted beside the manifest so point lookups can recompute a doc's
+    partition instead of scanning the store (:func:`decode_job.lookup_docs`).
     """
     spark = df.sparkSession
     if by_source:
@@ -139,7 +146,7 @@ def plan_partitions(
             )
             .drop("_offset", "_salts")
         )
-        return out, n_parts
+        return out, n_parts, rows
     if shares is None:
         shares, _ = input_stats(df)
     total = sum(r["tok"] or 0 for r in shares)
@@ -147,7 +154,7 @@ def plan_partitions(
     out = df.withColumn(
         "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
     )
-    return out, n_parts
+    return out, n_parts, [(None, 0, n_parts)]
 
 
 def _encode_blob_row(
@@ -296,7 +303,9 @@ def encode_token_table(
     """
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
     shares, data_snapshot = input_stats(df)
-    planned, n_parts = plan_partitions(df, target_tokens, by_source, shares)
+    planned, n_parts, plan_rows = plan_partitions(
+        df, target_tokens, by_source, shares
+    )
     # The manifest key is (data fingerprint + plan parameters): part_ids are
     # only comparable across runs when target_tokens/by_source match, so a
     # re-run of the same data under a coarser/finer plan must NOT resume
@@ -385,6 +394,14 @@ def encode_token_table(
         F.current_timestamp().alias("finished_at"),
     )
     append_manifest(manifest_rows, out_dir)
+    # persist the doc→partition mapping (metadata-sized: one row per
+    # source) so point lookups can target candidate partitions instead
+    # of scanning every blob (decode_job.lookup_docs)
+    spark.createDataFrame(
+        [(run_id, snapshot_id, s, o, k) for s, o, k in plan_rows],
+        "run_id string, snapshot_id string, source string, "
+        "offset int, salts int",
+    ).coalesce(1).write.mode("append").parquet(plan_path(out_dir))
 
     agg = written.agg(
         F.count("*").alias("parts"),

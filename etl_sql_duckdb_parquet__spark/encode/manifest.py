@@ -40,6 +40,12 @@ def blobs_path(out_dir: str) -> str:
     return os.path.join(out_dir, "blobs")
 
 
+def plan_path(out_dir: str) -> str:
+    """The persisted doc→partition mapping (one row per source per run):
+    ``part_id = offset + pmod(xxhash64(doc_id), salts)``."""
+    return os.path.join(out_dir, "plan")
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = manifest_path(out_dir)
     try:

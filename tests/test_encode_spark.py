@@ -42,7 +42,7 @@ def test_tokenizer_shape_and_determinism(spark, token_df):
 
 def test_plan_partitions_source_salted(spark, token_df):
     target = 5_000
-    planned, n_parts = plan_partitions(token_df, target_tokens=target)
+    planned, n_parts, _ = plan_partitions(token_df, target_tokens=target)
     assert n_parts >= 2
     per_part = (
         planned.groupBy("part_id")
@@ -156,7 +156,7 @@ def test_resume_ignores_other_plan_params(spark, token_df, tmp_path):
 def test_resume_after_partial_failure(spark, token_df, tmp_path):
     """Simulate a crashed run: encode only half the partitions, then resume."""
     out = str(tmp_path / "enc_partial")
-    planned, n_parts = plan_partitions(token_df, target_tokens=5_000)
+    planned, n_parts, _ = plan_partitions(token_df, target_tokens=5_000)
     assert n_parts >= 4
     half = planned.filter(F.col("part_id") < n_parts // 2).drop("part_id")
     encode_token_table(spark, half, out, target_tokens=5_000)
@@ -301,3 +301,47 @@ def test_q50_codec_names_are_registered(spark):
     for r in rows:
         assert r["codec"] in names
         assert r["comp_bytes"] < r["raw_bytes"]
+
+
+def test_point_lookup_decodes_candidate_partitions_only(
+    spark, token_df, tmp_path
+):
+    """lookup_docs must return exactly the requested docs (bit-identical
+    to a full decode + filter) while touching only the partitions the
+    persisted plan maps the ids to — at most sources-per-id, not the
+    whole store."""
+    from etl_sql_duckdb_parquet__spark.encode import (
+        candidate_parts,
+        lookup_docs,
+    )
+
+    out = str(tmp_path / "enc_lookup")
+    # small target → many partitions, so candidate pruning is visible
+    # (ids × sources candidates must be < the partition count)
+    stats = encode_token_table(spark, token_df, out, target_tokens=200)
+    n_parts = stats["n_parts_planned"]
+
+    wanted = [r["doc_id"] for r in token_df.select("doc_id").limit(3).collect()]
+    parts = candidate_parts(spark, out, wanted)
+    n_sources = token_df.select("source").distinct().count()
+    assert 0 < len(parts) <= len(wanted) * n_sources
+    assert len(parts) < n_parts
+
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in lookup_docs(spark, out, wanted).collect()
+    }
+    full = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in decode_token_table(spark, out)
+        .filter(F.col("doc_id").isin(wanted))
+        .collect()
+    }
+    assert got == full and set(got) == set(wanted)
+
+    # column projection composes with the lookup
+    slim = lookup_docs(spark, out, wanted, columns=["doc_id", "n_tok"])
+    assert slim.columns == ["doc_id", "n_tok"] and slim.count() == len(wanted)
+
+    # unknown ids return no rows (and don't error)
+    assert lookup_docs(spark, out, ["no_such_doc"]).count() == 0
