@@ -193,11 +193,17 @@ def decode_token_table(
 
 
 def candidate_parts(
-    spark: SparkSession, out_dir: str, doc_ids: list[str]
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: list[str],
+    source: str | None = None,
 ) -> list[int]:
     """Partitions that can contain the given doc ids, from the persisted
     plan: ``part_id = offset + pmod(xxhash64(doc_id), salts)`` — one
-    candidate per (doc, source, plan) instead of the whole store."""
+    candidate per (doc, source, plan) instead of the whole store.  Pass
+    ``source`` when known (the common case — the caller knows which feed
+    a doc came from): candidates collapse to exactly one per (doc, plan).
+    """
     import os as _os
 
     ppath = plan_path(out_dir)
@@ -211,6 +217,11 @@ def candidate_parts(
         .select("snapshot_id", "source", "offset", "salts")
         .distinct()
     )
+    if source is not None:
+        # uniform plans carry source=NULL and match any doc
+        plan = plan.filter(
+            (F.col("source") == source) | F.col("source").isNull()
+        )
     ids = spark.createDataFrame(
         [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"
     )
@@ -234,6 +245,7 @@ def lookup_docs(
     doc_ids: list[str],
     snapshots: str = "latest",
     columns: list[str] | None = None,
+    source: str | None = None,
 ) -> DataFrame:
     """Point lookup: decode ONLY the partitions that can contain the ids.
 
@@ -246,11 +258,13 @@ def lookup_docs(
     others — superset, filtered by the doc-id semi-join below, so the
     result is exact).  ``doc_ids`` is broadcast: point lookups are by
     definition metadata-sized; for bulk id sets use a decode + join.
+    ``source`` (when every requested id comes from that source) collapses
+    candidates to one partition per (doc, plan).
     """
     cols = columns
     if cols is not None and "doc_id" not in cols:
         cols = ["doc_id", *cols]
-    parts = candidate_parts(spark, out_dir, doc_ids)
+    parts = candidate_parts(spark, out_dir, doc_ids, source=source)
     decoded = decode_token_table(spark, out_dir, snapshots, cols, parts=parts)
     ids = spark.createDataFrame(
         [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"

@@ -177,7 +177,11 @@ def run_format_benchmark(
     replicate: int = 1,
 ) -> str:
     """Run the suite; returns the markdown report."""
-    from .encode.decode_job import decode_token_table
+    from .encode.decode_job import (
+        candidate_parts,
+        decode_token_table,
+        lookup_docs,
+    )
 
     paths = prepared or prepare_formats(spark, sf_dir, work_dir, replicate)
 
@@ -217,6 +221,37 @@ def run_format_benchmark(
             tok_rows.append((name, pq_ms, blob_ms, pruned_ms))
         else:
             tok_rows.append((name, pq_ms, None, None))
+
+    # point lookup: plan-targeted candidate decode vs full decode + filter
+    lookup_row = None
+    if blobs_ok:
+        toks_pq = spark.read.parquet(paths["tokens_parquet"])
+        src_name = toks_pq.select("source").first()["source"]
+        ids = [
+            r["doc_id"]
+            for r in toks_pq.filter(F.col("source") == src_name)
+            .select("doc_id")
+            .limit(3)
+            .collect()
+        ]
+        n_parts = (
+            spark.read.parquet(os.path.join(paths["blobs"], "manifest"))
+            .select("part_id")
+            .distinct()
+            .count()
+        )
+        cand = candidate_parts(spark, paths["blobs"], ids, source=src_name)
+        full_ms = _median_time(
+            lambda: decode_token_table(spark, paths["blobs"]).filter(
+                F.col("doc_id").isin(ids)
+            ),
+            iterations,
+        )
+        look_ms = _median_time(
+            lambda: lookup_docs(spark, paths["blobs"], ids, source=src_name),
+            iterations,
+        )
+        lookup_row = (len(ids), len(cand), n_parts, full_ms, look_ms)
 
     mb = 1024 * 1024
     csv_mb = sizes.get("size_docs_csv", 0) / mb
@@ -273,6 +308,22 @@ def run_format_benchmark(
         b_txt = f"{b:.0f}" if b is not None else "N/A"
         pr_txt = f"{pr:.0f}" if pr is not None else "N/A"
         lines.append(f"| {name} | {p:.0f} | {b_txt} | {pr_txt} |")
+    if lookup_row is not None:
+        k, cand, n_parts, full_ms, look_ms = lookup_row
+        lines += [
+            "",
+            "## Point lookup: plan-targeted vs full decode + filter",
+            "",
+            "| ids | candidate parts / total | full+filter (ms) | "
+            "lookup (ms) |",
+            "|---|---|---|---|",
+            f"| {k} | {cand} / {n_parts} | {full_ms:.0f} | {look_ms:.0f} |",
+            "",
+            "The lookup decodes only the partitions the persisted plan "
+            "maps the ids to; the partition-count ratio is the work "
+            "ratio at scale (wall times at this size are overhead-"
+            "dominated).",
+        ]
     lines += [
         "",
         "## Notes",

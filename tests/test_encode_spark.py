@@ -345,3 +345,17 @@ def test_point_lookup_decodes_candidate_partitions_only(
 
     # unknown ids return no rows (and don't error)
     assert lookup_docs(spark, out, ["no_such_doc"]).count() == 0
+
+    # source-known lookup collapses candidates to one part per doc
+    s_rows = (
+        token_df.select("doc_id", "source").limit(2).collect()
+    )
+    src_name = s_rows[0]["source"]
+    s_ids = [
+        r["doc_id"] for r in token_df.filter(F.col("source") == src_name)
+        .select("doc_id").limit(2).collect()
+    ]
+    s_parts = candidate_parts(spark, out, s_ids, source=src_name)
+    assert 0 < len(s_parts) <= len(s_ids)
+    s_got = lookup_docs(spark, out, s_ids, source=src_name)
+    assert sorted(r["doc_id"] for r in s_got.collect()) == sorted(s_ids)

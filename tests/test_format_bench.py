@@ -43,6 +43,12 @@ def test_report_sections_and_speedups(spark, prepared):
     # (projection-pushdown decode is part of the report contract)
     tok_rows = re.findall(r"\| (\w+) \| (\d+) \| (\d+) \| (\d+) \|", report)
     assert len(tok_rows) == 2, report
+    # point-lookup section: candidate partitions must be a strict subset
+    assert "## Point lookup" in report
+    m = re.search(r"\| (\d+) \| (\d+) / (\d+) \| (\d+) \| (\d+) \|", report)
+    assert m, report
+    _ids, cand, total = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    assert 0 < cand <= total
     for _name, _pq, full_ms, pruned_ms in tok_rows:
         # pruned decode skips the token blobs.  Single-shot timings on
         # this host vary 3-10x (CLAUDE.md), so the cells only get a
