@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> dict:
     # (streaming.incremental.encode_stream(available_now=False)).
     ap.add_argument("--stream-timeout", type=int, default=600,
                     help="streaming mode: max seconds to wait for the drain")
+    ap.add_argument("--lookup-ids", default=None,
+                    help="point lookup: comma-separated doc ids to fetch "
+                         "from an EXISTING store at --out (decodes only "
+                         "the partitions the persisted plan maps them to)")
+    ap.add_argument("--lookup-source", default=None,
+                    help="optional source of the looked-up ids (collapses "
+                         "candidates to one partition per id)")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -71,6 +78,32 @@ def main(argv: list[str] | None = None) -> dict:
     from .synth import synth_token_table, tokenize_documents
 
     spark = get_spark(cores=args.cores)
+
+    if args.lookup_ids:
+        from .decode_job import candidate_parts, lookup_docs
+
+        ids = [s for s in args.lookup_ids.split(",") if s]
+        t0 = time.perf_counter()
+        rows = lookup_docs(
+            spark, args.out, ids, source=args.lookup_source
+        ).collect()
+        stats = {
+            "mode": "lookup",
+            "out": args.out,
+            "n_requested": len(ids),
+            "n_found": len(rows),
+            "n_candidate_parts": len(
+                candidate_parts(
+                    spark, args.out, ids, source=args.lookup_source
+                )
+            ),
+            "lookup_wall_s": round(time.perf_counter() - t0, 3),
+            "docs": [
+                {"doc_id": r["doc_id"], "n_tok": r["n_tok"]} for r in rows
+            ],
+        }
+        print(json.dumps(stats, default=str))
+        return stats
 
     if args.stream_input_dir:
         from ..streaming.incremental import TOKEN_SCHEMA, run_available_now

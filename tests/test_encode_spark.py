@@ -359,3 +359,20 @@ def test_point_lookup_decodes_candidate_partitions_only(
     assert 0 < len(s_parts) <= len(s_ids)
     s_got = lookup_docs(spark, out, s_ids, source=src_name)
     assert sorted(r["doc_id"] for r in s_got.collect()) == sorted(s_ids)
+
+
+def test_cli_point_lookup(spark, token_df, tmp_path):
+    """The spark-submit surface: `encode.cli --lookup-ids` fetches docs
+    from an existing store via the plan-targeted path."""
+    from etl_sql_duckdb_parquet__spark.encode.cli import main
+
+    out = str(tmp_path / "enc_cli_lookup")
+    encode_token_table(spark, token_df, out, target_tokens=500)
+    picked = token_df.select("doc_id", "source").limit(2).collect()
+    ids = [r["doc_id"] for r in picked]
+
+    stats = main(["--out", out, "--lookup-ids", ",".join(ids)])
+    assert stats["mode"] == "lookup"
+    assert stats["n_found"] == stats["n_requested"] == 2
+    assert {d["doc_id"] for d in stats["docs"]} == set(ids)
+    assert stats["n_candidate_parts"] >= 1
