@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 import uuid
 
@@ -282,6 +283,44 @@ def _encode_arrow_partition(batches):
         )
 
 
+def _append_plan_rows(
+    spark, run_id: str, snapshot_id: str, plan_rows: list, out_dir: str
+) -> None:
+    """Append the (source → offset/salts) plan beside the manifest.
+
+    Driver-side pyarrow for filesystem paths — the rows are
+    metadata-sized and a Spark write job costs ~1 s of fixed overhead
+    per encode run; remote URIs (s3a:// etc.) go through a Spark write.
+    Both paths emit the identical schema (int32 offset/salts) so mixed
+    stores read back without a merge conflict.
+    """
+    ppath = plan_path(out_dir)
+    if "://" not in ppath or ppath.startswith("file:"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local = ppath[len("file:"):] if ppath.startswith("file:") else ppath
+        os.makedirs(local, exist_ok=True)
+        tbl = pa.table(
+            {
+                "run_id": pa.array([run_id] * len(plan_rows), pa.string()),
+                "snapshot_id": pa.array(
+                    [snapshot_id] * len(plan_rows), pa.string()
+                ),
+                "source": pa.array([s for s, _, _ in plan_rows], pa.string()),
+                "offset": pa.array([o for _, o, _ in plan_rows], pa.int32()),
+                "salts": pa.array([k for _, _, k in plan_rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(local, f"plan-{run_id}.parquet"))
+        return
+    spark.createDataFrame(
+        [(run_id, snapshot_id, s, o, k) for s, o, k in plan_rows],
+        "run_id string, snapshot_id string, source string, "
+        "offset int, salts int",
+    ).coalesce(1).write.mode("append").parquet(ppath)
+
+
 def encode_token_table(
     spark: SparkSession,
     df: DataFrame,
@@ -397,11 +436,7 @@ def encode_token_table(
     # persist the doc→partition mapping (metadata-sized: one row per
     # source) so point lookups can target candidate partitions instead
     # of scanning every blob (decode_job.lookup_docs)
-    spark.createDataFrame(
-        [(run_id, snapshot_id, s, o, k) for s, o, k in plan_rows],
-        "run_id string, snapshot_id string, source string, "
-        "offset int, salts int",
-    ).coalesce(1).write.mode("append").parquet(plan_path(out_dir))
+    _append_plan_rows(spark, run_id, snapshot_id, plan_rows, out_dir)
 
     agg = written.agg(
         F.count("*").alias("parts"),
