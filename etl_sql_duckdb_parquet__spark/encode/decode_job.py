@@ -204,19 +204,19 @@ def candidate_parts(
     ``source`` when known (the common case — the caller knows which feed
     a doc came from): candidates collapse to exactly one per (doc, plan).
     """
-    import os as _os
-
     ppath = plan_path(out_dir)
-    if not _os.path.exists(ppath):
+    try:
+        plan = (
+            spark.read.parquet(ppath)
+            .select("snapshot_id", "source", "offset", "salts")
+            .distinct()
+        )
+    except Exception:
         raise FileNotFoundError(
             f"no partition plan under {out_dir} — the store predates "
-            "lookup support; re-encode (or decode fully and filter)"
-        )
-    plan = (
-        spark.read.parquet(ppath)
-        .select("snapshot_id", "source", "offset", "salts")
-        .distinct()
-    )
+            "lookup support; re-encode with --no-resume (a resumed no-op "
+            "run also backfills the plan), or decode fully and filter"
+        ) from None
     if source is not None:
         # uniform plans carry source=NULL and match any doc
         plan = plan.filter(
@@ -246,6 +246,7 @@ def lookup_docs(
     snapshots: str = "latest",
     columns: list[str] | None = None,
     source: str | None = None,
+    parts: list[int] | None = None,
 ) -> DataFrame:
     """Point lookup: decode ONLY the partitions that can contain the ids.
 
@@ -259,12 +260,14 @@ def lookup_docs(
     result is exact).  ``doc_ids`` is broadcast: point lookups are by
     definition metadata-sized; for bulk id sets use a decode + join.
     ``source`` (when every requested id comes from that source) collapses
-    candidates to one partition per (doc, plan).
+    candidates to one partition per (doc, plan).  ``parts`` lets a caller
+    that already ran :func:`candidate_parts` skip recomputing them.
     """
     cols = columns
     if cols is not None and "doc_id" not in cols:
         cols = ["doc_id", *cols]
-    parts = candidate_parts(spark, out_dir, doc_ids, source=source)
+    if parts is None:
+        parts = candidate_parts(spark, out_dir, doc_ids, source=source)
     decoded = decode_token_table(spark, out_dir, snapshots, cols, parts=parts)
     ids = spark.createDataFrame(
         [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"

@@ -286,13 +286,21 @@ def _encode_arrow_partition(batches):
 def _append_plan_rows(
     spark, run_id: str, snapshot_id: str, plan_rows: list, out_dir: str
 ) -> None:
-    """Append the (source → offset/salts) plan beside the manifest.
+    """Persist the (source → offset/salts) plan beside the manifest.
 
     Driver-side pyarrow for filesystem paths — the rows are
     metadata-sized and a Spark write job costs ~1 s of fixed overhead
     per encode run; remote URIs (s3a:// etc.) go through a Spark write.
     Both paths emit the identical schema (int32 offset/salts) so mixed
     stores read back without a merge conflict.
+
+    The local file is named by SNAPSHOT (the plan is a pure function of
+    snapshot + plan params), so re-runs and resumed no-op runs overwrite
+    with identical content instead of accumulating duplicates — which is
+    also what lets the fully-resumed path backfill plans for stores
+    encoded before this feature existed.  (The remote branch appends a
+    part file per run instead; ``candidate_parts`` reads the plan
+    through ``.distinct()``, so duplicates only cost bytes.)
     """
     ppath = plan_path(out_dir)
     if "://" not in ppath or ppath.startswith("file:"):
@@ -312,7 +320,9 @@ def _append_plan_rows(
                 "salts": pa.array([k for _, _, k in plan_rows], pa.int32()),
             }
         )
-        pq.write_table(tbl, os.path.join(local, f"plan-{run_id}.parquet"))
+        pq.write_table(
+            tbl, os.path.join(local, f"plan-{snapshot_id}.parquet")
+        )
         return
     spark.createDataFrame(
         [(run_id, snapshot_id, s, o, k) for s, o, k in plan_rows],
@@ -352,6 +362,16 @@ def encode_token_table(
     snapshot_id = f"{data_snapshot}-tt{target_tokens}{'s' if by_source else 'g'}"
     if snapshot_salt is not None:
         snapshot_id = f"{snapshot_id}-{snapshot_salt}"
+
+    # persist the doc→partition mapping up front (metadata-sized: one row
+    # per source) so point lookups can target candidate partitions
+    # (decode_job.lookup_docs).  Before the encode work AND on the
+    # fully-resumed path below, so a crash-and-resume can never leave a
+    # committed manifest without its plan, and stores encoded before
+    # this feature backfill on their next (even no-op) run.  Idempotent:
+    # the file is keyed by snapshot id.
+    if n_parts > 0:
+        _append_plan_rows(spark, run_id, snapshot_id, plan_rows, out_dir)
 
     skipped = 0
     pending = planned
@@ -433,10 +453,6 @@ def encode_token_table(
         F.current_timestamp().alias("finished_at"),
     )
     append_manifest(manifest_rows, out_dir)
-    # persist the doc→partition mapping (metadata-sized: one row per
-    # source) so point lookups can target candidate partitions instead
-    # of scanning every blob (decode_job.lookup_docs)
-    _append_plan_rows(spark, run_id, snapshot_id, plan_rows, out_dir)
 
     agg = written.agg(
         F.count("*").alias("parts"),

@@ -196,7 +196,9 @@ def run_format_benchmark(
         )
         doc_rows.append((name, csv_ms, pq_ms, csv_ms / pq_ms))
 
-    blobs_ok = os.path.isdir(os.path.join(paths["blobs"], "manifest"))
+    from .encode.manifest import manifest_path
+
+    blobs_ok = os.path.isdir(manifest_path(paths["blobs"]))
     tok_rows = []
     for name, q in TOKEN_QUERIES.items():
         pq_ms = _median_time(
@@ -235,7 +237,7 @@ def run_format_benchmark(
             .collect()
         ]
         n_parts = (
-            spark.read.parquet(os.path.join(paths["blobs"], "manifest"))
+            spark.read.parquet(manifest_path(paths["blobs"]))
             .select("part_id")
             .distinct()
             .count()

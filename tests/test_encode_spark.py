@@ -376,3 +376,23 @@ def test_cli_point_lookup(spark, token_df, tmp_path):
     assert stats["n_found"] == stats["n_requested"] == 2
     assert {d["doc_id"] for d in stats["docs"]} == set(ids)
     assert stats["n_candidate_parts"] >= 1
+
+
+def test_plan_backfill_on_resumed_noop(spark, token_df, tmp_path):
+    """A store whose plan is missing (encoded before lookup support, or a
+    crash between writes) must regain it from the next run — even a
+    fully-resumed no-op — since the plan write precedes the resume
+    early-return and is idempotent per snapshot."""
+    import shutil
+
+    from etl_sql_duckdb_parquet__spark.encode import candidate_parts
+
+    out = str(tmp_path / "enc_backfill")
+    encode_token_table(spark, token_df, out, target_tokens=5_000)
+    shutil.rmtree(f"{out}/plan")
+    with pytest.raises(FileNotFoundError, match="no partition plan"):
+        candidate_parts(spark, out, ["doc_0"])
+
+    stats = encode_token_table(spark, token_df, out, target_tokens=5_000)
+    assert stats["n_parts_encoded"] == 0  # resume no-op...
+    assert candidate_parts(spark, out, ["doc_0"])  # ...but plan is back
