@@ -12,6 +12,7 @@ lineage and makes the job resumable; ``decode_job`` reverses bit-identically.
 from .synth import synth_token_table, tokenize_documents
 from .encode_job import encode_token_table, plan_partitions
 from .decode_job import candidate_parts, lookup_docs
+from .maintenance import compact_store, vacuum_store
 from .decode_job import decode_token_table, verify_roundtrip
 from .manifest import read_manifest
 
@@ -22,6 +23,8 @@ __all__ = [
     "plan_partitions",
     "candidate_parts",
     "lookup_docs",
+    "compact_store",
+    "vacuum_store",
     "decode_token_table",
     "verify_roundtrip",
     "read_manifest",

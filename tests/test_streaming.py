@@ -214,3 +214,44 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     # open (not emitted), and no window appears twice
     assert got == [(0, 3), (1, 3), (2, 3), (3, 3), (4, 3), (5, 4)]
     assert dropped == 1
+
+
+def test_compact_and_vacuum_streamed_store(spark, tmp_path):
+    """Two streamed waves → compact merges them into one snapshot and
+    vacuum reclaims the superseded per-epoch blobs; decode(all) ==
+    decode(latest) == the exact union, bit-identical."""
+    from etl_sql_duckdb_parquet__spark.encode import (
+        compact_store,
+        read_manifest,
+    )
+
+    landing = str(tmp_path / "mv_landing")
+    out = str(tmp_path / "mv_encoded")
+    w1 = _wave(spark, 150, seed=21, prefix="m1_")
+    w1.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w2 = _wave(spark, 100, seed=22, prefix="m2_")
+    w2.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    assert (
+        read_manifest(spark, out).select("snapshot_id").distinct().count()
+        == 2
+    )
+
+    result = compact_store(spark, out, target_tokens=20_000)
+    assert result["compacted"] and result["n_snapshots_merged"] == 2
+    assert result["vacuum"]["n_run_dirs_deleted"] >= 2
+    assert result["vacuum"]["bytes_reclaimed"] > 0
+
+    m = read_manifest(spark, out)
+    assert m.select("snapshot_id").distinct().count() == 1
+    union = w1.unionByName(w2)
+    for mode in ("latest", "all"):
+        v = verify_roundtrip(
+            union, decode_token_table(spark, out, snapshots=mode)
+        )
+        assert v["ok"] and v["n_union"] == 250, (mode, v)
+
+    # idempotent: compacting the already-compacted store is a no-op
+    again = compact_store(spark, out, target_tokens=20_000)
+    assert again == {"compacted": False, "n_snapshots": 1}
