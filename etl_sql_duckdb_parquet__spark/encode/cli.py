@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--lookup-source", default=None,
                     help="optional source of the looked-up ids (collapses "
                          "candidates to one partition per id)")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance: merge all snapshots of the store at "
+                         "--out into one and vacuum superseded blobs")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -78,6 +81,22 @@ def main(argv: list[str] | None = None) -> dict:
     from .synth import synth_token_table, tokenize_documents
 
     spark = get_spark(cores=args.cores)
+
+    if args.compact:
+        from .maintenance import compact_store
+
+        t0 = time.perf_counter()
+        result = compact_store(
+            spark, args.out, target_tokens=args.target_tokens
+        )
+        stats = {
+            "mode": "compact",
+            "out": args.out,
+            "compact_wall_s": round(time.perf_counter() - t0, 3),
+            **result,
+        }
+        print(json.dumps(stats, default=str))
+        return stats
 
     if args.lookup_ids:
         from .decode_job import candidate_parts, lookup_docs

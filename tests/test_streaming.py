@@ -255,3 +255,22 @@ def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     # idempotent: compacting the already-compacted store is a no-op
     again = compact_store(spark, out, target_tokens=20_000)
     assert again == {"compacted": False, "n_snapshots": 1}
+
+
+def test_cli_compact(spark, tmp_path):
+    """`encode.cli --compact` runs the maintenance loop end-to-end."""
+    from etl_sql_duckdb_parquet__spark.encode.cli import main
+
+    landing = str(tmp_path / "cc_landing")
+    out = str(tmp_path / "cc_encoded")
+    _wave(spark, 120, seed=31, prefix="k1_").write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    _wave(spark, 80, seed=32, prefix="k2_").write.mode("append").parquet(
+        landing
+    )
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    stats = main(["--out", out, "--compact", "--target-tokens", "20000"])
+    assert stats["mode"] == "compact" and stats["compacted"]
+    assert stats["vacuum"]["n_run_dirs_deleted"] >= 2
+    assert decode_token_table(spark, out).count() == 200
