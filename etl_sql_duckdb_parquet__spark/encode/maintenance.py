@@ -53,6 +53,10 @@ def compact_store(
     holds a single snapshot.  The compacted snapshot's id is
     content-addressed with a ``compact`` salt, so re-compacting an
     unchanged store resumes to a no-op instead of re-encoding.
+
+    ``vacuum=False`` defers the cleanup, but then the old snapshots AND
+    the compacted one coexist — a second compact before vacuuming would
+    union both and double-count; vacuum before compacting again.
     """
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
@@ -92,6 +96,11 @@ def vacuum_store(spark: SparkSession, out_dir: str) -> dict:
     snapshot, rewrites the manifest to that snapshot's rows, and drops
     other snapshots' plan files.  After vacuum,
     ``decode(snapshots="all") == decode(snapshots="latest")``.
+
+    The manifest swap is write-new → rename-old-away → rename-new-in; a
+    crash between the two renames leaves the store readable by renaming
+    ``manifest_vacuum_old`` back (blobs are only deleted after the swap
+    completes, so no data is at risk in that window).
     """
     local = _require_filesystem(out_dir)
     manifest = read_manifest(spark, out_dir)
