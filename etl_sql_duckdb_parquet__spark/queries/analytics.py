@@ -562,3 +562,27 @@ def q59_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "r_name", "c_mktsegment")
     )
+
+
+# --- CUBE: the full grouping-set lattice in one Expand pass (completes
+# the multi-level aggregation family next to q59's ROLLUP)
+def q62_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "gid",
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )

@@ -354,4 +354,14 @@ ANALYTICS_ORACLES: dict[str, str] = {
         GROUP BY ROLLUP(r_name, c_mktsegment)
         ORDER BY gid, r_name, c_mktsegment
     """,
+    "q62_cube_order_counts": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
 }
