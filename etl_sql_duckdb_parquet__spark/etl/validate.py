@@ -117,6 +117,12 @@ def validate(
             )
         branches.append(b)
     for col, dim in (fk or {}).items():
+        # BOUNDEDNESS ASSUMPTION: `fk` values are true dimension tables
+        # (nation/region-class — constant-cardinality reference sets, not
+        # SF-scaling fact slices).  Callers passing a table that grows
+        # with data volume must drop to a plain (un-hinted) join and let
+        # AQE decide; the hint here exists so the FK check stays a single
+        # broadcast anti-join with zero shuffles of the scanned table.
         b = (
             df.join(
                 F.broadcast(dim.select(col).distinct()), col, "left_anti"

@@ -6,9 +6,12 @@ over the driver testdata star schema, plus the profiling/QC aggregates
 Every query is declarative DataFrame API — Catalyst gets full freedom
 for pushdown/pruning/broadcast; no Python in the data path.  Each has a
 DuckDB oracle twin (same column names, see registry.py) per the driver
-contract.  Scale notes are inline: joins against the small dims
-(region/nation/customer at 100 TB lineitem scale) are broadcast; top-k
-goes through TakeOrderedAndProject, never a full sort.
+contract.  Scale notes are inline: broadcast HINTS are reserved for the
+genuinely constant dims (nation=25, region=5 rows); customer scales
+linearly with SF (~15 B rows at 100 TB lineitem scale), so its joins are
+left un-hinted for AQE to broadcast only when the measured build side is
+actually small.  Top-k goes through TakeOrderedAndProject, never a full
+sort.
 """
 
 from __future__ import annotations
@@ -75,8 +78,10 @@ def q04_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     return (
+        # customer is NOT hinted: it scales with SF, and a hint bypasses
+        # AQE's size check — AQE still broadcasts it when measurably small
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.round(
@@ -347,7 +352,10 @@ def q19_high_balance_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     return (
-        orders.join(F.broadcast(rich), "o_custkey", "left_semi")
+        # no broadcast hint: `rich` is a ~10% slice of an unbounded table
+        # (output-scale, not metadata) — a shuffled left-semi on an 8-byte
+        # key is one cheap shuffle, and AQE still broadcasts when small
+        orders.join(rich, "o_custkey", "left_semi")
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),

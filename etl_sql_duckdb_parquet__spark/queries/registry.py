@@ -59,3 +59,29 @@ for oracles in (
 _missing = set(ORACLES) - set(REGISTRY)
 if _missing:  # pragma: no cover - import-time sanity
     raise RuntimeError(f"oracles without queries: {sorted(_missing)}")
+
+# --- insertion-order policy for the driver's bounded correctness window ---
+# The driver compares the FIRST 50 registry entries against their DuckDB
+# oracles; anything past the window gets no correctness row even when an
+# oracle exists.  Order therefore encodes priority:
+#   1. oracle-backed queries (green-able), ascending by number — EXCEPT
+#   2. demoted oracle-backed queries whose SURVEY §2 row is already proven
+#      by another green query (q16 ⊂ A10 via q40, q44 ⊂ cosine via q45) —
+#      these ride at the back of the oracle-backed block so the window
+#      always prefers unique-capability proofs;
+#   3. no-oracle queries last (they can only ever produce rows-only checks,
+#      so a window slot is wasted on them).
+# All entries remain registered and value-checked by test_oracle_parity.py
+# regardless of position.
+_DEMOTED = ("q16_duplicate_events", "q44_top20_similar_pairs")
+
+
+def _window_rank(name: str) -> tuple[int, str]:
+    if name not in ORACLES:
+        return (2, name)
+    if name in _DEMOTED:
+        return (1, name)
+    return (0, name)
+
+
+REGISTRY = dict(sorted(REGISTRY.items(), key=lambda kv: _window_rank(kv[0])))

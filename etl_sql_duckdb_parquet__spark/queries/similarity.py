@@ -205,6 +205,86 @@ def q46_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_seq_udf():
+    """Bucket-id kernel with SEQUENTIAL (left-to-right) dot accumulation.
+
+    Same planes as :func:`_lsh_bucket_udf`, but each plane dot is the last
+    element of ``np.cumsum`` over the signed values — the exact IEEE
+    association of DuckDB's ``list_dot_product`` fold, so the bucket ids
+    (sign decisions included) are reproducible in the oracle bit-for-bit.
+    The production tensordot kernel trades that association for BLAS
+    speed; this twin exists to make the bucket structure value-checkable.
+    """
+    planes = np.asarray(lsh_plane_literals(), dtype=np.float64)  # (L,k,dim)
+    n_tables, k_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * k_planes, dim)  # (L*k, dim)
+    weights = (1 << np.arange(k_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        # (n, L*k, dim) signed terms → sequential fold along dim
+        signed = m[:, None, :] * flat[None, :, :]
+        dots = np.cumsum(signed, axis=2)[:, :, -1]
+        bits = dots.reshape(len(m), n_tables, k_planes) >= 0.0
+        ids = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
+def q63_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable LSH twin: per-(table, bucket) population histogram.
+
+    q46/q55's production bucket kernel is not SQL-expressible (tensordot
+    accumulation order), so — the q56 trick — this twin recomputes the
+    SAME deterministic sign-plane bucket ids with a sequential-fold Arrow
+    kernel (see :func:`_lsh_bucket_seq_udf`) whose IEEE association
+    matches DuckDB's ``list_dot_product`` fold bit-for-bit, making the
+    full bucket-population distribution (the candidate-generation
+    structure the ANN/near-dup queries rely on) value-checkable against
+    the oracle.  Plan shape at 10^9 vectors: one scan, one vectorized
+    Arrow projection, one 8-way explode (the L tables), one hash
+    aggregate — no joins, no driver data path.
+    """
+    v = _vectors(spark, sf_dir)
+    buckets = _lsh_bucket_seq_udf()
+    return (
+        v.select(
+            F.posexplode(buckets(F.col("v"))).alias("table_idx", "bucket")
+        )
+        .groupBy("table_idx", "bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("table_idx", "bucket")
+    )
+
+
+def _oracle_bucket_histogram() -> str:
+    planes = lsh_plane_literals()
+    legs = []
+    for ti, table in enumerate(planes):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(vec, ["
+            + ", ".join(f"{float(p[i])}" for i in range(len(p)))
+            + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(table)
+        )
+        legs.append(
+            f"SELECT {ti} AS table_idx, CAST({bits} AS INT) AS bucket FROM v"
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+        WITH {_SQL_VECTORS},
+        cells AS ({union})
+        SELECT table_idx, bucket, count(*) AS n_vectors
+        FROM cells
+        GROUP BY table_idx, bucket
+        ORDER BY table_idx, bucket
+    """
+
+
 _SQL_VECTORS = f"""
     v AS (
         SELECT vec_id,
@@ -221,6 +301,7 @@ _SQL_VECTORS = f"""
 """
 
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q63_lsh_bucket_histogram": _oracle_bucket_histogram(),
     "q44_top20_similar_pairs": f"""
         WITH {_SQL_VECTORS}
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

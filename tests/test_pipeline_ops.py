@@ -24,9 +24,12 @@ from etl_sql_duckdb_parquet__spark.queries.multimodal import (  # noqa: E402
 )
 from etl_sql_duckdb_parquet__spark.queries.similarity import (  # noqa: E402
     NEARDUP_COS,
+    _lsh_bucketed,
+    _vectors,
     q45_cosine_topk,
     q46_ann_lsh_topk,
     q55_embedding_neardup,
+    q63_lsh_bucket_histogram,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
@@ -74,6 +77,27 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.4, f"ANN recall {recall} suspiciously low"
     # approximate results must still be real vectors, ranked 1..<=5 per query
     assert all(q < 10 for q, _ in approx)
+
+
+def test_lsh_bucket_twin_matches_production_kernel(spark):
+    """The oracle-checkable sequential-fold twin (q63) and the production
+    tensordot kernel (q46/q55's `_lsh_bucketed`) must assign identical
+    bucket populations on the test data — the accumulation orders differ
+    only at the ulp level and no plane dot sits on a sign boundary here,
+    so the candidate-generation structure the ANN queries rely on is
+    exactly the structure the oracle verified."""
+    twin = {
+        (r["table_idx"], r["bucket"]): r["n_vectors"]
+        for r in q63_lsh_bucket_histogram(spark, SF_DIR).collect()
+    }
+    prod = {
+        (r["table_idx"], r["bucket"]): r["n"]
+        for r in _lsh_bucketed(_vectors(spark, SF_DIR))
+        .groupBy("table_idx", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert twin == prod
 
 
 def test_embedding_neardup_precision_and_recall(spark):

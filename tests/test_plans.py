@@ -28,8 +28,10 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 def test_q04_broadcasts_dimension_joins(spark):
-    """customer/nation sides are dimension-sized and hinted — the shuffle
-    must be a broadcast exchange, not a sort-merge over the fact table."""
+    """At sf0.01 the customer side is measurably under the auto-broadcast
+    threshold — Catalyst must pick a broadcast exchange on its own (no
+    hint in the query, see test_q04_customer_join_is_not_hint_broadcast),
+    not a sort-merge over the fact table."""
     plan = plan_of(REGISTRY["q04_segment_revenue"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -87,6 +89,30 @@ def test_q51_vocab_join_is_not_hint_broadcast(spark):
     # the vocab side must ride a shuffled join on `word`
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Left keys [1]: [word" in plan
+
+
+def test_q04_customer_join_is_not_hint_broadcast(spark):
+    """customer scales linearly with SF (~15 B rows at 100 TB lineitem
+    scale): the q04 enrichment join must NOT carry a broadcast hint — a
+    hint bypasses AQE's size check and OOMs at 100× (round-3 weak
+    finding).  q04 uses no legitimate hints, so with auto-broadcast off
+    the plan must contain no BroadcastExchange at all."""
+    plan = _without_auto_broadcast(
+        spark, lambda: REGISTRY["q04_segment_revenue"](spark, SF_DIR)
+    )
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q19_semijoin_is_not_hint_broadcast(spark):
+    """The high-balance customer set is a ~10% slice of an unbounded
+    table (output-scale, not metadata): the left-semi must NOT carry a
+    broadcast hint (round-3 weak finding)."""
+    plan = _without_auto_broadcast(
+        spark,
+        lambda: REGISTRY["q19_high_balance_order_stats"](spark, SF_DIR),
+    )
+    assert "BroadcastExchange" not in plan
 
 
 def test_q42_candidate_semijoin_is_not_hint_broadcast(spark):

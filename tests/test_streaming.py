@@ -216,6 +216,36 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     assert dropped == 1
 
 
+def test_q57_twice_in_one_session_is_identical(spark):
+    """Driver-session reuse hazard: q57 mutates the session timezone
+    (set-and-restore) and registers a memory sink per call — a second
+    invocation in the same session must drop the previous sink, re-run the
+    stream, and produce the identical finalized-window set."""
+    from etl_sql_duckdb_parquet__spark.queries.streaming_agg import (
+        q57_streaming_hourly_rollup,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+    )
+    first = q57_streaming_hourly_rollup(spark, sf_dir).collect()
+    views_after_first = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("q57_mem_")
+    ]
+    second = q57_streaming_hourly_rollup(spark, sf_dir).collect()
+    views_after_second = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("q57_mem_")
+    ]
+    assert first == second and len(first) > 0
+    # sink cleanup: exactly one live q57 view, and not the first one
+    assert len(views_after_first) == 1 and len(views_after_second) == 1
+    assert views_after_first[0] != views_after_second[0]
+
+
 def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     """Two streamed waves → compact merges them into one snapshot and
     vacuum reclaims the superseded per-epoch blobs; decode(all) ==
