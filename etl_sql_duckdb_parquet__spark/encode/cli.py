@@ -105,7 +105,11 @@ def main(argv: list[str] | None = None) -> dict:
         # candidates computed once, outside the timed window, and passed
         # through so the reported wall is the decode+fetch only
         parts = candidate_parts(
-            spark, args.out, ids, source=args.lookup_source
+            spark,
+            args.out,
+            ids,
+            source=args.lookup_source,
+            snapshots="latest",  # mirrors the lookup_docs default below
         )
         t0 = time.perf_counter()
         rows = lookup_docs(

@@ -192,17 +192,50 @@ def decode_token_table(
     return blobs.select(*needed).mapInArrow(_make_decoder(cols), schema)
 
 
+def _decoded_snapshot_ids(
+    spark: SparkSession, out_dir: str, snapshots: str
+) -> set[str]:
+    """The ok snapshot ids a decode with this ``snapshots`` arg will read
+    (same resolution rules as :func:`winning_blobs`)."""
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    ok = manifest.filter(F.col("status") == "ok")
+    if snapshots == "latest":
+        latest = (
+            ok.orderBy(F.desc("finished_at"), F.desc("run_id"))
+            .select("snapshot_id")
+            .first()
+        )
+        return {latest["snapshot_id"]} if latest else set()
+    if snapshots.startswith("snap_"):
+        return {snapshots}
+    return {
+        r["snapshot_id"]
+        for r in ok.select("snapshot_id").distinct().collect()
+    }
+
+
 def candidate_parts(
     spark: SparkSession,
     out_dir: str,
     doc_ids: list[str],
     source: str | None = None,
+    snapshots: str = "all",
 ) -> list[int]:
     """Partitions that can contain the given doc ids, from the persisted
     plan: ``part_id = offset + pmod(xxhash64(doc_id), salts)`` — one
     candidate per (doc, source, plan) instead of the whole store.  Pass
     ``source`` when known (the common case — the caller knows which feed
     a doc came from): candidates collapse to exactly one per (doc, plan).
+
+    ``snapshots`` names the snapshot set the lookup will decode (same
+    semantics as :func:`decode_token_table`); the plan must COVER it —
+    a store where an old snapshot predates plan support while newer
+    encodes wrote plan rows would otherwise compute candidates from the
+    newer plans only and silently miss docs living in the plan-less
+    snapshot.  Coverage is validated against the manifest and a missing
+    snapshot raises the same backfill error as a missing plan directory.
     """
     ppath = plan_path(out_dir)
     try:
@@ -217,6 +250,21 @@ def candidate_parts(
             "lookup support; re-encode with --no-resume (a resumed no-op "
             "run also backfills the plan), or decode fully and filter"
         ) from None
+    plan_snaps = {
+        r["snapshot_id"]
+        for r in plan.select("snapshot_id").distinct().collect()
+    }
+    uncovered = sorted(
+        _decoded_snapshot_ids(spark, out_dir, snapshots) - plan_snaps
+    )
+    if uncovered:
+        raise FileNotFoundError(
+            f"snapshot(s) {uncovered} under {out_dir} have no partition-"
+            "plan rows (encoded before lookup support) — lookups against "
+            "them would silently miss their docs; re-encode those inputs "
+            "(a resumed no-op run backfills the plan), or decode fully "
+            "and filter"
+        )
     if source is not None:
         # uniform plans carry source=NULL and match any doc
         plan = plan.filter(
@@ -267,7 +315,9 @@ def lookup_docs(
     if cols is not None and "doc_id" not in cols:
         cols = ["doc_id", *cols]
     if parts is None:
-        parts = candidate_parts(spark, out_dir, doc_ids, source=source)
+        parts = candidate_parts(
+            spark, out_dir, doc_ids, source=source, snapshots=snapshots
+        )
     decoded = decode_token_table(spark, out_dir, snapshots, cols, parts=parts)
     ids = spark.createDataFrame(
         [(str(d),) for d in dict.fromkeys(doc_ids)], "doc_id string"

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 from ..codecs import encode_strings
 from ..codecs.core import encode_int_best, encode_int_best_with_stats
 from ..codecs.core import CODEC_IDS, codec_of, zunwrap, zwrap_best
-from .manifest import append_manifest, blobs_path, completed_parts, plan_path
+from .manifest import (
+    append_manifest,
+    append_running_marker,
+    blobs_path,
+    completed_parts,
+    plan_path,
+)
 
 DEFAULT_TARGET_TOKENS = 2_000_000
 
@@ -398,6 +404,11 @@ def encode_token_table(
             "comp_bytes": 0,
             "encode_cpu_s": 0.0,
         }
+
+    # in-flight marker BEFORE any blob bytes move: a concurrent/later
+    # vacuum sees this run as running-until-committed and refuses to
+    # reclaim its blob directory (maintenance.vacuum_store's guard)
+    append_running_marker(spark, out_dir, run_id, snapshot_id)
 
     # explicit repartition by part_id (the user-specified partition count
     # suppresses AQE coalescing — every encode slot stays busy), then a

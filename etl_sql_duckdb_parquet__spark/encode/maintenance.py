@@ -13,9 +13,12 @@ reshaped for the snapshot/manifest store.
 
 Scale design: compaction is just decode→encode — both ends are the
 distributed mapInArrow engine, no driver data path; vacuum touches only
-metadata (the manifest) plus directory deletes.  Not concurrency-safe:
-run maintenance while no readers/writers are active (same contract as
-Iceberg's ``expire_snapshots``).
+metadata (the manifest) plus directory deletes.  Readers must still be
+quiesced (same contract as Iceberg's ``expire_snapshots``), but writers
+are guarded: every encode run appends a ``status='running'`` manifest
+marker before moving blob bytes, and vacuum refuses (without ``force``)
+while an uncommitted run newer than the kept snapshot exists — an
+in-flight encode can't have its blobs reclaimed out from under it.
 """
 
 from __future__ import annotations
@@ -41,6 +44,10 @@ def _require_filesystem(out_dir: str) -> str:
     return out_dir[len("file:"):] if out_dir.startswith("file:") else out_dir
 
 
+def _is_compacted(snapshot_id: str) -> bool:
+    return snapshot_id.endswith("-compact")
+
+
 def compact_store(
     spark: SparkSession,
     out_dir: str,
@@ -55,9 +62,17 @@ def compact_store(
     unchanged store resumes to a no-op instead of re-encoding.
 
     ``vacuum=False`` defers the cleanup, but then the old snapshots AND
-    the compacted one coexist — a second compact before vacuuming would
-    union both and double-count; vacuum before compacting again.
+    the compacted one coexist — ``decode(snapshots="all")`` double-counts
+    in that state, and a second compact would re-union both, encode the
+    doubled content as the new latest snapshot, and let its vacuum delete
+    the clean originals.  Guarded: compacting a store that already holds
+    a compacted snapshot alongside other snapshots raises — vacuum first.
+    Likewise, ``vacuum=True`` validates the store is vacuum-able
+    (filesystem) BEFORE the merge encode, so the failure can't strand the
+    store in that half-compacted state.
     """
+    if vacuum:
+        _require_filesystem(out_dir)
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -70,6 +85,16 @@ def compact_store(
     ]
     if len(snaps) <= 1:
         return {"compacted": False, "n_snapshots": len(snaps)}
+    stale = [s for s in snaps if _is_compacted(s)]
+    if stale:
+        raise RuntimeError(
+            f"store under {out_dir} holds compacted snapshot(s) {stale} "
+            "alongside other snapshots (a previous compact ran with "
+            "vacuum=False or its vacuum failed) — decode(snapshots='all') "
+            "double-counts in this state and re-compacting would encode "
+            "the doubled union; run vacuum_store() first (the compacted "
+            "snapshot is the latest, so no force is needed)"
+        )
     union = decode_token_table(spark, out_dir, snapshots="all")
     stats = encode_token_table(
         spark,
@@ -85,11 +110,16 @@ def compact_store(
         **{f"encode_{k}": v for k, v in stats.items()},
     }
     if vacuum:
-        result["vacuum"] = vacuum_store(spark, out_dir)
+        result["vacuum"] = vacuum_store(spark, out_dir, _compacted=True)
     return result
 
 
-def vacuum_store(spark: SparkSession, out_dir: str) -> dict:
+def vacuum_store(
+    spark: SparkSession,
+    out_dir: str,
+    force: bool = False,
+    _compacted: bool = False,
+) -> dict:
     """Keep only the latest snapshot; reclaim everything it superseded.
 
     Deletes blob ``run_id=...`` directories not referenced by the latest
@@ -97,30 +127,72 @@ def vacuum_store(spark: SparkSession, out_dir: str) -> dict:
     other snapshots' plan files.  After vacuum,
     ``decode(snapshots="all") == decode(snapshots="latest")``.
 
+    Two refusal guards (both overridable with ``force=True``):
+
+    - **additive epochs**: on a multi-snapshot store whose latest snapshot
+      is NOT a compaction, earlier snapshots are additive ingest batches
+      (each holds its own documents), not superseded versions — vacuuming
+      would silently drop data from ``decode(snapshots="all")``.  Run
+      :func:`compact_store` (which merges, then vacuums) instead, or pass
+      ``force=True`` if the latest snapshot really supersedes the rest
+      (e.g. the same table re-encoded after an input change).
+    - **in-flight runs**: a run that appended its ``status='running'``
+      marker but no ok rows yet, newer than the kept snapshot, is still
+      writing blobs — reclaiming its ``run_id=`` directory would corrupt
+      it.  If the run actually crashed, re-run it (resume supersedes it)
+      or pass ``force=True``.
+
     The manifest swap is write-new → rename-old-away → rename-new-in; a
     crash between the two renames leaves the store readable by renaming
     ``manifest_vacuum_old`` back (blobs are only deleted after the swap
-    completes, so no data is at risk in that window).
+    completes, so no data is at risk in that window), and the next vacuum
+    clears any leftover ``_vacuum_old`` from a completed swap before
+    re-renaming.
     """
     local = _require_filesystem(out_dir)
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    ok = manifest.filter(F.col("status") == "ok")
-    latest = (
-        ok.orderBy(F.desc("finished_at"), F.desc("run_id"))
-        .select("snapshot_id")
-        .first()
-    )
-    if latest is None:
+    rows = manifest.select(
+        "run_id", "snapshot_id", "status", "finished_at"
+    ).collect()  # metadata-sized: O(partitions) rows
+    ok_rows = [r for r in rows if r["status"] == "ok"]
+    if not ok_rows:
         raise ValueError(f"no status='ok' manifest rows under {out_dir}")
-    snap = latest["snapshot_id"]
+    snap = max(ok_rows, key=lambda r: (r["finished_at"], r["run_id"]))[
+        "snapshot_id"
+    ]
+    ok_snaps = {r["snapshot_id"] for r in ok_rows}
+    if len(ok_snaps) > 1 and not (_is_compacted(snap) or _compacted or force):
+        raise RuntimeError(
+            f"store under {out_dir} holds {len(ok_snaps)} snapshots and the "
+            f"latest ({snap}) is not a compaction — earlier snapshots are "
+            "additive ingest epochs, so vacuuming would drop their data "
+            "from decode(snapshots='all'); run compact_store() instead, or "
+            "vacuum_store(force=True) if the latest truly supersedes them"
+        )
+    committed = {r["run_id"] for r in ok_rows}
+    kept_ts = max(
+        r["finished_at"] for r in ok_rows if r["snapshot_id"] == snap
+    )
+    inflight = sorted(
+        {
+            r["run_id"]
+            for r in rows
+            if r["status"] == "running"
+            and r["run_id"] not in committed
+            and r["finished_at"] >= kept_ts
+        }
+    )
+    if inflight and not force:
+        raise RuntimeError(
+            f"uncommitted encode run(s) {inflight} newer than the kept "
+            f"snapshot exist under {out_dir} — an in-flight encode's blobs "
+            "would be reclaimed mid-write; wait for it to commit, re-run "
+            "it if it crashed, or vacuum_store(force=True)"
+        )
     keep_runs = {
-        r["run_id"]
-        for r in ok.filter(F.col("snapshot_id") == snap)
-        .select("run_id")
-        .distinct()
-        .collect()
+        r["run_id"] for r in ok_rows if r["snapshot_id"] == snap
     }
 
     # rewrite the manifest to the surviving snapshot's rows (write-new,
@@ -129,9 +201,21 @@ def vacuum_store(spark: SparkSession, out_dir: str) -> dict:
     tmp = mpath + "_vacuum_tmp"
     old = mpath + "_vacuum_old"
     shutil.rmtree(tmp, ignore_errors=True)
-    manifest.filter(F.col("snapshot_id") == snap).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    # a leftover _vacuum_old from a completed earlier swap is safe to
+    # discard (mpath already holds the rewritten manifest) — and os.rename
+    # below cannot replace a non-empty directory, so clear it first
+    shutil.rmtree(old, ignore_errors=True)
+    # keep the surviving snapshot's rows, minus running markers of runs
+    # that never committed (they are either the forced-over in-flight run
+    # or long-dead crashes; keeping them would block every future vacuum)
+    survivors = manifest.filter(
+        (F.col("snapshot_id") == snap)
+        & ~(
+            (F.col("status") == "running")
+            & ~F.col("run_id").isin(sorted(committed))
+        )
+    )
+    survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(mpath, old)
     os.rename(tmp, mpath)
     shutil.rmtree(old)

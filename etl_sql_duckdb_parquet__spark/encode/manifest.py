@@ -46,6 +46,75 @@ def plan_path(out_dir: str) -> str:
     return os.path.join(out_dir, "plan")
 
 
+def append_running_marker(
+    spark: SparkSession, out_dir: str, run_id: str, snapshot_id: str
+) -> None:
+    """One run-level ``status='running'`` manifest row, written BEFORE the
+    encode starts moving data.
+
+    Lets maintenance distinguish a run that is still writing blobs from a
+    crashed one: a run_id with a running row and no ok rows is in-flight
+    (or died), and :func:`maintenance.vacuum_store` refuses to reclaim
+    blob directories while such a run is newer than the kept snapshot.
+    Every reader filters ``status == 'ok'``, so the marker is invisible to
+    decode/resume.  Filesystem stores get a driver-side pyarrow write
+    (the row is metadata-sized; a Spark write job costs ~1 s of fixed
+    overhead per encode run); remote URIs go through a Spark append.
+    """
+    mpath = manifest_path(out_dir)
+    if "://" not in mpath or mpath.startswith("file:"):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local = mpath[len("file:"):] if mpath.startswith("file:") else mpath
+        os.makedirs(local, exist_ok=True)
+        now = datetime.datetime.now(datetime.timezone.utc)
+        tbl = pa.table(
+            {
+                "run_id": pa.array([run_id], pa.string()),
+                "snapshot_id": pa.array([snapshot_id], pa.string()),
+                "part_id": pa.array([-1], pa.int32()),
+                "codec": pa.array([None], pa.string()),
+                "n_docs": pa.array([None], pa.int64()),
+                "n_tokens": pa.array([None], pa.int64()),
+                "raw_bytes": pa.array([None], pa.int64()),
+                "comp_bytes": pa.array([None], pa.int64()),
+                "encode_s": pa.array([None], pa.float64()),
+                "checksum": pa.array([None], pa.int64()),
+                "n_distinct": pa.array([None], pa.int64()),
+                "n_runs": pa.array([None], pa.int64()),
+                "vmin": pa.array([None], pa.int64()),
+                "vmax": pa.array([None], pa.int64()),
+                "status": pa.array(["running"], pa.string()),
+                "finished_at": pa.array([now], pa.timestamp("us", tz="UTC")),
+            }
+        )
+        pq.write_table(tbl, os.path.join(local, f"marker-{run_id}.parquet"))
+        return
+    marker = spark.createDataFrame(
+        [(run_id, snapshot_id)], "run_id string, snapshot_id string"
+    ).select(
+        "run_id",
+        "snapshot_id",
+        F.lit(-1).cast("int").alias("part_id"),
+        F.lit(None).cast("string").alias("codec"),
+        *[
+            F.lit(None).cast("long").alias(c)
+            for c in ("n_docs", "n_tokens", "raw_bytes", "comp_bytes")
+        ],
+        F.lit(None).cast("double").alias("encode_s"),
+        *[
+            F.lit(None).cast("long").alias(c)
+            for c in ("checksum", "n_distinct", "n_runs", "vmin", "vmax")
+        ],
+        F.lit("running").alias("status"),
+        F.current_timestamp().alias("finished_at"),
+    )
+    append_manifest(marker, out_dir)
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = manifest_path(out_dir)
     try:

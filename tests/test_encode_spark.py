@@ -77,10 +77,12 @@ def test_encode_decode_roundtrip(spark, token_df, tmp_path):
     assert v["ok"], v
 
     m = read_manifest(spark, out)
-    rows = m.collect()
+    rows = m.filter(m.status == "ok").collect()
     assert len(rows) == stats["n_parts_planned"]
-    assert all(r["status"] == "ok" for r in rows)
     assert all(r["codec"] for r in rows)
+    # plus exactly one run-level in-flight marker for the committed run
+    markers = m.filter(m.status == "running").collect()
+    assert [r["run_id"] for r in markers] == [stats["run_id"]]
 
 
 def test_encode_empty_and_zero_length_docs(spark, tmp_path):
@@ -251,7 +253,7 @@ def test_manifest_records_selector_stats(spark, token_df, tmp_path):
     out = str(tmp_path / "enc_stats")
     encode_token_table(spark, token_df, out, target_tokens=10_000)
     m = read_manifest(spark, out)
-    rows = m.collect()
+    rows = m.filter(m.status == "ok").collect()
     for r in rows:
         assert r["n_distinct"] > 0
         assert r["n_runs"] > 0

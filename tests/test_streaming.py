@@ -287,6 +287,140 @@ def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     assert again == {"compacted": False, "n_snapshots": 1}
 
 
+def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
+    """An encode run that appended its running marker but no ok rows yet
+    must block vacuum (its blob dir would be reclaimed mid-write); decode
+    stays bit-identical throughout, and force=True overrides."""
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import vacuum_store
+    from etl_sql_duckdb_parquet__spark.encode.encode_job import (
+        encode_token_table,
+    )
+    from etl_sql_duckdb_parquet__spark.encode.manifest import (
+        append_running_marker,
+    )
+
+    out = str(tmp_path / "if_encoded")
+    df = _wave(spark, 120, seed=41, prefix="if_")
+    stats = encode_token_table(spark, df, out, target_tokens=20_000)
+    append_running_marker(
+        spark, out, "run_inflight_sim", stats["snapshot_id"]
+    )
+    with pytest.raises(RuntimeError, match="run_inflight_sim"):
+        vacuum_store(spark, out)
+    assert verify_roundtrip(df, decode_token_table(spark, out))["ok"]
+    vacuum_store(spark, out, force=True)
+    assert verify_roundtrip(df, decode_token_table(spark, out))["ok"]
+    # the forced vacuum's manifest rewrite dropped the uncommitted
+    # marker, so the next vacuum runs clean (no force needed)
+    vacuum_store(spark, out)
+
+
+def test_vacuum_refuses_additive_epochs(spark, tmp_path):
+    """Direct vacuum on a multi-epoch streamed store must refuse: earlier
+    epochs are additive, not superseded — vacuuming would silently drop
+    their docs from decode(snapshots='all')."""
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import vacuum_store
+
+    landing = str(tmp_path / "ae_landing")
+    out = str(tmp_path / "ae_encoded")
+    w1 = _wave(spark, 120, seed=51, prefix="a1_")
+    w1.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w2 = _wave(spark, 80, seed=52, prefix="a2_")
+    w2.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    with pytest.raises(RuntimeError, match="additive ingest epochs"):
+        vacuum_store(spark, out)
+    # nothing was deleted: the full union still decodes
+    v = verify_roundtrip(
+        w1.unionByName(w2), decode_token_table(spark, out, snapshots="all")
+    )
+    assert v["ok"] and v["n_union"] == 200
+
+
+def test_compact_refuses_half_compacted_store(spark, tmp_path):
+    """compact(vacuum=False) leaves epochs + compacted snapshot coexisting;
+    a second compact must refuse (it would union the doubled content) and
+    a plain vacuum resolves the state (the compaction is the latest
+    snapshot, so no force is needed)."""
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import (
+        compact_store,
+        vacuum_store,
+    )
+
+    landing = str(tmp_path / "hc_landing")
+    out = str(tmp_path / "hc_encoded")
+    w1 = _wave(spark, 100, seed=61, prefix="h1_")
+    w1.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w2 = _wave(spark, 60, seed=62, prefix="h2_")
+    w2.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    result = compact_store(spark, out, target_tokens=20_000, vacuum=False)
+    assert result["compacted"] and "vacuum" not in result
+    with pytest.raises(RuntimeError, match="compacted snapshot"):
+        compact_store(spark, out, target_tokens=20_000)
+    vacuum_store(spark, out)
+    v = verify_roundtrip(
+        w1.unionByName(w2), decode_token_table(spark, out, snapshots="all")
+    )
+    assert v["ok"] and v["n_union"] == 160
+    # and the store is compact-idempotent again
+    assert compact_store(spark, out, target_tokens=20_000) == {
+        "compacted": False,
+        "n_snapshots": 1,
+    }
+
+
+def test_lookup_requires_plan_coverage(spark, tmp_path):
+    """A store where one decoded snapshot has no plan rows must raise the
+    backfill error instead of silently missing that snapshot's docs."""
+    import os as _os
+
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import candidate_parts
+    from etl_sql_duckdb_parquet__spark.encode.manifest import plan_path
+
+    landing = str(tmp_path / "pc_landing")
+    out = str(tmp_path / "pc_encoded")
+    _wave(spark, 80, seed=71, prefix="p1_").write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    _wave(spark, 60, seed=72, prefix="p2_").write.mode("append").parquet(
+        landing
+    )
+    run_available_now(spark, landing, out, target_tokens=20_000)
+
+    # simulate a plan-less legacy snapshot: drop the FIRST epoch's plan
+    pdir = plan_path(out)
+    plans = sorted(
+        f for f in _os.listdir(pdir) if f.startswith("plan-")
+    )
+    assert len(plans) == 2
+    # identify the latest snapshot's plan so we delete the other one
+    from etl_sql_duckdb_parquet__spark.encode.decode_job import (
+        _decoded_snapshot_ids,
+    )
+
+    (latest,) = _decoded_snapshot_ids(spark, out, "latest")
+    victim = next(f for f in plans if f != f"plan-{latest}.parquet")
+    _os.remove(_os.path.join(pdir, victim))
+
+    # decoding 'all' would include the plan-less snapshot → refuse
+    with pytest.raises(FileNotFoundError, match="no partition-plan rows"):
+        candidate_parts(spark, out, ["p1_doc_0"], snapshots="all")
+    # 'latest' is still fully covered → lookups proceed
+    assert candidate_parts(spark, out, ["p2_doc_0"], snapshots="latest")
+
+
 def test_cli_compact(spark, tmp_path):
     """`encode.cli --compact` runs the maintenance loop end-to-end."""
     from etl_sql_duckdb_parquet__spark.encode.cli import main
