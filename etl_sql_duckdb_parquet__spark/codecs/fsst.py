@@ -16,15 +16,27 @@ the longest symbol match per position with one packed uint64 sort + binary
 range searches (1-byte symbols via a 256-entry LUT gather), confines
 matches to 1 KiB chunks, and resolves the greedy parse by advancing one
 cursor per chunk in lockstep; decompress scatters symbol bytes through
-cumsum offsets.  Warm best-of-N throughput on this host: ~9-12 MB/s
+cumsum offsets.  Warm best-of-N throughput on this host: ~10-16 MB/s
 compress, ~100 MB/s decompress per core (the round-2 "6-8 MB/s" figure
 was cold-start contaminated — the first big numpy alloc/sort in a process
-is 20-100x slower than warm, see CLAUDE.md; a per-length searchsorted
-redesign was measured 2x SLOWER warm than the packed sort and reverted).
-Inside Spark these run one task per core, so a 32-core node sustains
-~300 MB/s encode aggregate; FSST is selector-gated to the string columns
-(doc_id/source), a few % of total bytes, so it is never the job
-bottleneck.
+is 20-100x slower than warm, see CLAUDE.md).  The kernel sits at a
+measured local optimum for a pure-numpy design — four redesigns were
+benchmarked warm, best-of-4, against it on 10 MiB of structured ids and
+ALL lost (match-stage seconds on the same input): per-length searchsorted
+(round 2, ~2x slower), nested-interval slice painting in the sorted
+domain (0.79 vs 0.72 — the final painted-position gather/scatter costs
+more than per-symbol scatters save), a sort-free grouped probe of
+per-3-byte-prefix candidate chains through a 16 MiB direct-address LUT
+(0.87, and 2.3x slower on dense doc-id data — per-pass gathers on the
+shrinking active set beat memory bandwidth out of the win), and a fused
+64K two-byte LUT init with maskless scatters + edge fix-up (0.80-0.32 vs
+0.73-0.26).  The remaining cost is ~5 memory passes over the 8-byte
+windows (build+byteswap 0.12 s, packed sort 0.24 s, range scatters
+0.34 s per 10 MiB) — bandwidth-bound, so a further 2x needs a C kernel,
+not another numpy shape.  Inside Spark these run one task per core, so a
+32-core node sustains ~300-500 MB/s encode aggregate; FSST is
+selector-gated to the string columns (doc_id/source), a few % of total
+bytes, so it is never the job bottleneck.
 
 Blob layout (little-endian)::
 

@@ -188,9 +188,11 @@ def test_zunwrap_rejects_truncated_blob():
 def test_fsst_throughput_vectorized():
     """Regression guard for the vectorized kernels: 10 MB must compress in
     seconds, not minutes (the old per-byte Python loop ran ~0.3-0.5 MB/s;
-    warm best-of-N on this host is ~9-12 MB/s compress, ~100 MB/s
-    decompress).  Floors are set ~4x below warm speed — this sandbox's CPU
-    is documented to vary 3-10x run-to-run (CLAUDE.md)."""
+    warm best-of-N on this host is ~11-14 MB/s compress on this exact
+    input, ~100 MB/s decompress — see the fsst module docstring for the
+    four benchmarked redesigns that could not beat it).  The compress
+    floor is ~2.3x below warm speed, with best-of-5 in one warm process
+    bounding this sandbox's tenant noise (CLAUDE.md)."""
     import time
 
     data = b"\x00".join(
@@ -198,7 +200,7 @@ def test_fsst_throughput_vectorized():
     )[: 10 * 1024 * 1024]
     mb = len(data) / 2**20
     best_c = best_d = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         blob = encode_fsst(data)
         t1 = time.time()
@@ -207,7 +209,7 @@ def test_fsst_throughput_vectorized():
         assert decoded == data
         best_c = min(best_c, t1 - t0)
         best_d = min(best_d, t2 - t1)
-    assert mb / best_c > 2.5, f"compress {mb/best_c:.2f} MB/s"
+    assert mb / best_c > 5.0, f"compress {mb/best_c:.2f} MB/s"
     assert mb / best_d > 15.0, f"decompress {mb/best_d:.2f} MB/s"
     assert len(blob) < 0.5 * len(data)
 
