@@ -168,6 +168,81 @@ def _median_time(make_df, iterations: int) -> float:
     return sorted(times)[len(times) // 2]
 
 
+def run_lookup_at_scale(
+    spark: SparkSession,
+    work_dir: str,
+    n_docs: int = 700_000,
+    k_ids: int = 3,
+    iterations: int = 3,
+) -> dict:
+    """Point-lookup leg at a store big enough for the partition ratio to
+    materialize as WALL TIME, not just partition counts.
+
+    The base-scale lookup row (below) shows the work ratio (candidate
+    parts / total) but its wall ratio is overhead-dominated — every leg
+    costs one ~300 ms Spark job regardless of bytes.  This leg encodes a
+    ~180M-token synthetic store (~90 partitions at the default 2M-token
+    target) where a full decode+filter moves hundreds of MB through the
+    codec kernels while the plan-targeted lookup decodes only the
+    candidate partitions; the timings include the lookup's plan read and
+    candidate computation (the honest end-to-end cost a caller pays).
+    """
+    from .encode.decode_job import (
+        candidate_parts,
+        decode_token_table,
+        lookup_docs,
+    )
+    from .encode.encode_job import encode_token_table
+    from .encode.synth import synth_token_table
+
+    from .encode.manifest import read_manifest
+
+    store = os.path.join(work_dir, "lookup_store")
+    toks = synth_token_table(spark, n_docs)
+    encode_token_table(spark, toks, store, resume=True)
+    m = read_manifest(spark, store).filter(F.col("status") == "ok")
+    tot = m.agg(
+        F.sum("n_tokens").alias("t"),
+        F.countDistinct("part_id").alias("p"),
+    ).first()
+    # ids drawn from one known source — the common case the lookup API
+    # documents (the caller knows which feed a doc came from); the
+    # source-unknown variant probes one candidate per (id, source)
+    src = "web"
+    ids = [
+        r["doc_id"]
+        for r in toks.filter(F.col("source") == src)
+        .select("doc_id")
+        .limit(k_ids)
+        .collect()
+    ]
+    cand_src = candidate_parts(spark, store, ids, source=src)
+    cand_any = candidate_parts(spark, store, ids)
+    full_ms = _median_time(
+        lambda: decode_token_table(spark, store).filter(
+            F.col("doc_id").isin(ids)
+        ),
+        iterations,
+    )
+    look_src_ms = _median_time(
+        lambda: lookup_docs(spark, store, ids, source=src), iterations
+    )
+    look_any_ms = _median_time(
+        lambda: lookup_docs(spark, store, ids), iterations
+    )
+    return {
+        "n_docs": n_docs,
+        "n_tokens": int(tot["t"]),
+        "n_parts": int(tot["p"]),
+        "n_ids": len(ids),
+        "cand_src": len(cand_src),
+        "cand_any": len(cand_any),
+        "full_ms": full_ms,
+        "lookup_src_ms": look_src_ms,
+        "lookup_any_ms": look_any_ms,
+    }
+
+
 def run_format_benchmark(
     spark: SparkSession,
     sf_dir: str,
@@ -175,6 +250,7 @@ def run_format_benchmark(
     iterations: int = 3,
     prepared: dict | None = None,
     replicate: int = 1,
+    lookup_scale_docs: int = 0,
 ) -> str:
     """Run the suite; returns the markdown report."""
     from .encode.decode_job import (
@@ -324,7 +400,35 @@ def run_format_benchmark(
             "The lookup decodes only the partitions the persisted plan "
             "maps the ids to; the partition-count ratio is the work "
             "ratio at scale (wall times at this size are overhead-"
-            "dominated).",
+            "dominated — see the at-scale section below for where the "
+            "ratio materializes as wall time).",
+        ]
+    if lookup_scale_docs:
+        ls = run_lookup_at_scale(
+            spark, work_dir, n_docs=lookup_scale_docs, iterations=iterations
+        )
+        r_src = ls["full_ms"] / ls["lookup_src_ms"] if ls["lookup_src_ms"] else 0.0
+        r_any = ls["full_ms"] / ls["lookup_any_ms"] if ls["lookup_any_ms"] else 0.0
+        lines += [
+            "",
+            "## Point lookup at scale "
+            f"({ls['n_tokens'] / 1e6:.0f}M-token synthetic store, "
+            f"{ls['n_ids']} ids, full+filter = {ls['full_ms']:.0f} ms)",
+            "",
+            "| variant | candidate parts / total | lookup (ms) | speedup |",
+            "|---|---|---|---|",
+            f"| source known | {ls['cand_src']} / {ls['n_parts']} | "
+            f"{ls['lookup_src_ms']:.0f} | {r_src:.1f}x |",
+            f"| source unknown | {ls['cand_any']} / {ls['n_parts']} | "
+            f"{ls['lookup_any_ms']:.0f} | {r_any:.1f}x |",
+            "",
+            "The lookup's wall time is dominated by a ~2-3 s fixed "
+            "metadata cost (plan read + candidate job, manifest "
+            "winner-window, blob file listing) that does NOT grow with "
+            "store size, while the full decode grows linearly with it — "
+            "whether the partition work ratio shows up as wall time at a "
+            "given store size depends on where that crossover sits "
+            "(measured trend in the committed FORMAT_BENCH.md).",
         ]
     lines += [
         "",
@@ -358,6 +462,9 @@ def main() -> None:
     # is multi-second signal, not per-job overhead (the 1 MB base tables
     # measured format-independent noise — speedup cells read 0.9-1.2x)
     ap.add_argument("--replicate", type=int, default=200)
+    # ~700k synth docs ≈ 180M tokens ≈ 90 partitions: the store where the
+    # lookup's partition-pruning ratio becomes a wall-time ratio
+    ap.add_argument("--lookup-scale-docs", type=int, default=700_000)
     args = ap.parse_args()
     from .session import get_spark
 
@@ -368,6 +475,7 @@ def main() -> None:
         args.work_dir,
         args.iterations,
         replicate=args.replicate,
+        lookup_scale_docs=args.lookup_scale_docs,
     )
     with open(args.out, "w") as f:
         f.write(report)
