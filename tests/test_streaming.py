@@ -287,6 +287,65 @@ def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     assert again == {"compacted": False, "n_snapshots": 1}
 
 
+def test_stateful_sessionization_across_drains(spark, tmp_path):
+    """applyInPandasWithState sessionizer: two availableNow drains over
+    one checkpoint must (a) resume the open session exactly where drain 1
+    left it, (b) close it on a gap-exceeding event, and (c) evict a quiet
+    user's session via event-time TIMEOUT once the watermark passes."""
+    import datetime as dt
+
+    from etl_sql_duckdb_parquet__spark.streaming.sessions import (
+        run_sessionize_available_now,
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    landing = str(tmp_path / "sess_landing")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    schema = "ts timestamp_ntz, user_id long, value double"
+    spark.createDataFrame(
+        [(t(10, 0), 1, 1.0), (t(10, 5), 1, 2.0), (t(10, 0), 2, 5.0)],
+        schema,
+    ).write.parquet(landing)
+    first = run_sessionize_available_now(
+        spark, landing, ckpt, out, gap_seconds=1800, watermark="10 minutes"
+    )
+    # nothing closes in wave 1: no gap exceeded, and the watermark
+    # (10:05 − 10 min) is far below every timeout (last + 30 min)
+    assert first == []
+
+    spark.createDataFrame(
+        [(t(10, 20), 1, 3.0), (t(13, 0), 1, 4.0)], schema
+    ).write.mode("append").parquet(landing)
+    second = run_sessionize_available_now(
+        spark, landing, ckpt, out, gap_seconds=1800, watermark="10 minutes"
+    )
+    got = [
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+            r["closed_by"],
+        )
+        for r in second
+    ]
+    assert got == [
+        # user 1: wave-2's 10:20 event EXTENDED the checkpointed open
+        # session (10:00-10:05, 2 events) — proof the state store carried
+        # it across drains — then 13:00 closed it by gap
+        (1, t(10, 0), t(10, 20), 3, 6.0, "gap"),
+        # user 2 went quiet: watermark (13:00 − 10 min) passed its
+        # 10:00 + 30 min timeout → evicted with its single event
+        (2, t(10, 0), t(10, 0), 1, 5.0, "timeout"),
+    ]
+    # user 1's new open session (13:00) is still held as state, not emitted
+    assert all(r["session_start"] != t(13, 0) for r in second)
+
+
 def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
     """An encode run that appended its running marker but no ok rows yet
     must block vacuum (its blob dir would be reclaimed mid-write); decode
