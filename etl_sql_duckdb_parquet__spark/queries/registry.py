@@ -66,14 +66,20 @@ if _missing:  # pragma: no cover - import-time sanity
 # oracle exists.  Order therefore encodes priority:
 #   1. oracle-backed queries (green-able), ascending by number — EXCEPT
 #   2. demoted oracle-backed queries whose SURVEY §2 row is already proven
-#      by another green query (q16 ⊂ A10 via q40, q44 ⊂ cosine via q45) —
-#      these ride at the back of the oracle-backed block so the window
-#      always prefers unique-capability proofs;
+#      by another green query (q16 ⊂ A10 via q40, q44 ⊂ cosine via q45,
+#      q24 ⊂ F-family via q22/q23/q25/q26 + transform pytest) — these ride
+#      at the back of the oracle-backed block so the window always prefers
+#      unique-capability proofs (q24's slot goes to q63, the stateful
+#      streaming-sessionization proof, a capability no other query covers);
 #   3. no-oracle queries last (they can only ever produce rows-only checks,
 #      so a window slot is wasted on them).
 # All entries remain registered and value-checked by test_oracle_parity.py
 # regardless of position.
-_DEMOTED = ("q16_duplicate_events", "q44_top20_similar_pairs")
+_DEMOTED = (
+    "q16_duplicate_events",
+    "q44_top20_similar_pairs",
+    "q24_ship_month",
+)
 
 
 def _window_rank(name: str) -> tuple[int, str]:

@@ -92,6 +92,67 @@ def q57_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("window_start", "event_type")
 
 
+def q63_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization by the CUSTOM STATEFUL operator
+    (``streaming.sessions.sessionize_events``, ``applyInPandasWithState``),
+    emitted-set-checked like q57.
+
+    The events file is drained availableNow through the real state store;
+    the append-mode output contains exactly (a) sessions closed because a
+    later event of the same user arrived past the 30-min gap
+    (``closed_by='gap'``) and (b) open sessions evicted by the event-time
+    TIMEOUT once the final watermark (max ts − 1 h) passed their
+    ``last_event + gap`` deadline (``closed_by='timeout'``).  Each user's
+    still-open tail session is correctly withheld — so hash-equality with
+    the oracle proves the state-store semantics (gap segmentation, timeout
+    eviction, watermark withholding), not just the per-session arithmetic.
+
+    Timestamps are returned as epoch MILLIS bigints: the state kernel
+    stores ms-truncated event times (`sessions.py` casts to
+    ``datetime64[ms]``), and epoch-ms integers compare across engines
+    free of timezone/precision formatting hazards.
+    """
+    import tempfile
+
+    from ..streaming.sessions import sessionize_events
+
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith("q63_mem_"):
+            spark.catalog.dropTempView(tbl.name)
+    qname = f"q63_mem_{uuid.uuid4().hex}"
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        sess = sessionize_events(src, gap_seconds=1800, watermark="1 hour")
+        out = sess.select(
+            "user_id",
+            F.unix_millis("session_start").alias("session_start_ms"),
+            F.unix_millis("session_end").alias("session_end_ms"),
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            "closed_by",
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    return spark.table(qname).orderBy("user_id", "session_start_ms")
+
+
 STREAMING_AGG_ORACLES: dict[str, str] = {
     # Emitted set = windows whose END is <= the final watermark
     # (max(ts) - 1 hour); time_bucket floors to the same hour boundaries
@@ -106,5 +167,45 @@ STREAMING_AGG_ORACLES: dict[str, str] = {
         GROUP BY window_start, event_type, wm.w
         HAVING window_start + INTERVAL 1 HOUR <= wm.w
         ORDER BY window_start, event_type
+    """,
+    # Emitted set = every session except each user's open tail, PLUS the
+    # tail when its last_event + gap deadline fell strictly below the
+    # final watermark (max ts − 1 h).  Event times are ms-truncated to
+    # match the state kernel's datetime64[ms] storage; session sums are
+    # order-independent, boundaries depend only on sorted ms timestamps.
+    "q63_streaming_sessions": """
+        WITH e AS (
+          SELECT user_id, date_trunc('milliseconds', ts) AS tms, value
+          FROM events
+        ),
+        wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM events),
+        s AS (
+          SELECT user_id, tms, value,
+                 CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                      > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+          FROM e
+        ),
+        g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        ),
+        sess AS (
+          SELECT user_id, sid,
+                 min(tms) AS session_start, max(tms) AS session_end,
+                 count(*) AS n_events, sum(value) AS raw_sum,
+                 max(sid) OVER (PARTITION BY user_id) AS last_sid
+          FROM g GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               epoch_ms(session_start) AS session_start_ms,
+               epoch_ms(session_end) AS session_end_ms,
+               n_events,
+               round(raw_sum, 4) AS sum_value,
+               CASE WHEN sid < last_sid THEN 'gap' ELSE 'timeout' END AS closed_by
+        FROM sess, wm
+        WHERE sid < last_sid
+           OR session_end + INTERVAL 1800 SECOND < wm.w
+        ORDER BY user_id, session_start_ms
     """,
 }

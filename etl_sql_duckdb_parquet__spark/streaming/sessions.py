@@ -189,7 +189,12 @@ def run_sessionize_available_now(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         before = Counter(_rows())
-        sch = spark.read.parquet(input_dir).schema
+        probe = spark.read
+        if path_glob_filter:
+            # scope the schema probe the same way as the stream, else a
+            # mixed-schema landing dir resolves to the wrong table
+            probe = probe.option("pathGlobFilter", path_glob_filter)
+        sch = probe.parquet(input_dir).schema
         reader = spark.readStream.schema(sch)
         if path_glob_filter:
             reader = reader.option("pathGlobFilter", path_glob_filter)
@@ -218,3 +223,60 @@ def run_sessionize_available_now(
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def main(argv: list | None = None) -> dict:
+    """spark-submit / ``python -m`` surface for the sessionizer.
+
+    Drains whatever landed in ``--input-dir`` since the last invocation
+    (the checkpoint under ``--checkpoint`` carries both the file-source
+    log and the state store, so open sessions survive between runs) and
+    appends closed sessions to the parquet sink at ``--out``.  Re-invoke
+    on a schedule for the stop-and-catch-up cadence; on a cluster submit
+    with ``spark-submit --py-files etl_sql_duckdb_parquet__spark.zip``.
+    """
+    import argparse
+    import json
+    import time
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--gap-seconds", type=int, default=DEFAULT_GAP_SECONDS)
+    ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--glob", default=None,
+                    help="pathGlobFilter to scope the watched directory")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark(cores=args.cores, app_name="sessionize_stream")
+    t0 = time.perf_counter()
+    emitted = run_sessionize_available_now(
+        spark,
+        args.input_dir,
+        args.checkpoint,
+        args.out,
+        gap_seconds=args.gap_seconds,
+        watermark=args.watermark,
+        path_glob_filter=args.glob,
+    )
+    result = {
+        "mode": "sessionize_available_now",
+        "input_dir": args.input_dir,
+        "out": args.out,
+        "emitted_sessions": len(emitted),
+        "emitted_by": {
+            k: sum(1 for r in emitted if r["closed_by"] == k)
+            for k in ("gap", "timeout")
+        },
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":  # pragma: no cover - thin arg wrapper
+    main()
