@@ -174,21 +174,31 @@ def run_sessionize_available_now(
     state store, so consecutive drains against the same ``checkpoint_dir``
     resume open sessions exactly where the previous drain left them —
     the stop-and-catch-up cadence of a scheduled ingest job.
-    """
-    from collections import Counter
 
-    def _rows() -> list:
-        try:
-            return [
-                tuple(r) for r in spark.read.parquet(output_dir).collect()
-            ]
-        except Exception:
-            return []  # first drain: sink dir not created yet
+    Scale note: the emitted-rows return is computed by diffing the sink's
+    data-file listing before/after the drain (metadata-only) and reading
+    JUST the new files through the ``_spark_metadata``-respecting reader —
+    driver traffic is O(this drain's sessions), never O(sink history).
+    Stale uncommitted files from a crashed earlier drain sit in the
+    before-listing and are ignored by the committed-files reader, so a
+    recovery drain reports exactly its own replayed emissions.
+    """
+    import os
+
+    def _data_files() -> set:
+        found = set()
+        for root, dirs, files in os.walk(output_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            found.update(
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return found
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        before = Counter(_rows())
+        before_files = _data_files()
         probe = spark.read
         if path_glob_filter:
             # scope the schema probe the same way as the stream, else a
@@ -209,15 +219,18 @@ def run_sessionize_available_now(
             .start()
         )
         q.awaitTermination()
-        emitted = Counter(_rows())
-        emitted.subtract(before)
-        cols = [f.name for f in spark.read.parquet(output_dir).schema.fields]
-        rows = [
-            dict(zip(cols, tup))
-            for tup, cnt in emitted.items()
-            for _ in range(cnt)
-            if cnt > 0
-        ]
+        new_files = _data_files() - before_files
+        if not new_files:
+            return []
+        # file-sink part names are per-batch UUIDs, so basenames identify
+        # this drain's files uniquely; the dir read goes through
+        # _spark_metadata (committed files only)
+        emitted = spark.read.parquet(output_dir).where(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).isin(
+                [*new_files]
+            )
+        )
+        rows = [r.asDict() for r in emitted.collect()]
         return sorted(
             rows, key=lambda r: (r["user_id"], r["session_start"])
         )
