@@ -69,7 +69,7 @@ if _missing:  # pragma: no cover - import-time sanity
 #      by another green query (q16 ⊂ A10 via q40, q44 ⊂ cosine via q45,
 #      q24 ⊂ F-family via q22/q23/q25/q26 + transform pytest) — these ride
 #      at the back of the oracle-backed block so the window always prefers
-#      unique-capability proofs (q24's slot goes to q63, the stateful
+#      unique-capability proofs (q24's slot goes to q64, the stateful
 #      streaming-sessionization proof, a capability no other query covers);
 #   3. no-oracle queries last (they can only ever produce rows-only checks,
 #      so a window slot is wasted on them).

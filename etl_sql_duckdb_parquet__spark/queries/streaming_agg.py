@@ -92,7 +92,7 @@ def q57_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("window_start", "event_type")
 
 
-def q63_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q64_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-sessionization by the CUSTOM STATEFUL operator
     (``streaming.sessions.sessionize_events``, ``applyInPandasWithState``),
     emitted-set-checked like q57.
@@ -117,9 +117,9 @@ def q63_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessions import sessionize_events
 
     for tbl in spark.catalog.listTables():
-        if tbl.name.startswith("q63_mem_"):
+        if tbl.name.startswith("q64_mem_"):
             spark.catalog.dropTempView(tbl.name)
-    qname = f"q63_mem_{uuid.uuid4().hex}"
+    qname = f"q64_mem_{uuid.uuid4().hex}"
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
@@ -173,7 +173,7 @@ STREAMING_AGG_ORACLES: dict[str, str] = {
     # final watermark (max ts − 1 h).  Event times are ms-truncated to
     # match the state kernel's datetime64[ms] storage; session sums are
     # order-independent, boundaries depend only on sorted ms timestamps.
-    "q63_streaming_sessions": """
+    "q64_streaming_sessions": """
         WITH e AS (
           SELECT user_id, date_trunc('milliseconds', ts) AS tms, value
           FROM events

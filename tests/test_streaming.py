@@ -246,27 +246,27 @@ def test_q57_twice_in_one_session_is_identical(spark):
     assert views_after_first[0] != views_after_second[0]
 
 
-def test_q63_twice_in_one_session_is_identical(spark):
+def test_q64_twice_in_one_session_is_identical(spark):
     """Same session-reuse guard for the stateful-sessionization query:
     each invocation must use a FRESH checkpoint + memory sink (stale state
     from a previous run would withhold every already-emitted session) and
     reproduce the identical gap/timeout-closed set."""
     from etl_sql_duckdb_parquet__spark.queries.streaming_agg import (
-        q63_streaming_sessions,
+        q64_streaming_sessions,
     )
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
     )
-    first = q63_streaming_sessions(spark, sf_dir).collect()
-    second = q63_streaming_sessions(spark, sf_dir).collect()
+    first = q64_streaming_sessions(spark, sf_dir).collect()
+    second = q64_streaming_sessions(spark, sf_dir).collect()
     assert first == second and len(first) > 0
     by = {r["closed_by"] for r in first}
     assert by == {"gap", "timeout"}
     views = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith("q63_mem_")
+        if t.name.startswith("q64_mem_")
     ]
     assert len(views) == 1
 
