@@ -210,6 +210,13 @@ def _decoded_snapshot_ids(
         return {latest["snapshot_id"]} if latest else set()
     if snapshots.startswith("snap_"):
         return {snapshots}
+    if snapshots != "all":
+        # same validation as winning_blobs — a typo must raise here, not
+        # silently widen the coverage check to every snapshot
+        raise ValueError(
+            "snapshots must be 'latest', 'all', or an explicit "
+            f"'snap_...' id: {snapshots!r}"
+        )
     return {
         r["snapshot_id"]
         for r in ok.select("snapshot_id").distinct().collect()

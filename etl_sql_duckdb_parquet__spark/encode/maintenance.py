@@ -85,15 +85,45 @@ def compact_store(
     ]
     if len(snaps) <= 1:
         return {"compacted": False, "n_snapshots": len(snaps)}
-    stale = [s for s in snaps if _is_compacted(s)]
+    # Half-compacted detection must NOT fire on the normal maintenance
+    # cycle (compact → vacuum → more epochs land → compact again), where
+    # the previous compaction legitimately survives as the OLDEST snapshot
+    # (the additive base).  The hazard state is a compacted snapshot with
+    # anything OLDER next to it: those older snapshots are exactly what it
+    # merged (a compact whose vacuum never ran), so the union would
+    # double-count them.
+    commit_ts = {
+        r["snapshot_id"]: r["ts"]
+        for r in manifest.filter(F.col("status") == "ok")
+        .groupBy("snapshot_id")
+        .agg(F.max("finished_at").alias("ts"))
+        .collect()
+    }
+    stale = sorted(
+        c
+        for c in snaps
+        if _is_compacted(c)
+        and any(commit_ts[s] < commit_ts[c] for s in snaps if s != c)
+    )
     if stale:
+        latest = max(snaps, key=lambda s: commit_ts[s])
+        remedy = (
+            "run vacuum_store() first (the compacted snapshot is the "
+            "latest, so no force is needed)"
+            if _is_compacted(latest)
+            else (
+                "newer ingest epochs landed on top of the half-compacted "
+                "state, so vacuum would drop them or the base — recover "
+                "by decoding each non-superseded snapshot and re-encoding "
+                "into a fresh store"
+            )
+        )
         raise RuntimeError(
             f"store under {out_dir} holds compacted snapshot(s) {stale} "
-            "alongside other snapshots (a previous compact ran with "
+            "alongside OLDER snapshots (a previous compact ran with "
             "vacuum=False or its vacuum failed) — decode(snapshots='all') "
             "double-counts in this state and re-compacting would encode "
-            "the doubled union; run vacuum_store() first (the compacted "
-            "snapshot is the latest, so no force is needed)"
+            f"the doubled union; {remedy}"
         )
     union = decode_token_table(spark, out_dir, snapshots="all")
     stats = encode_token_table(
@@ -137,10 +167,11 @@ def vacuum_store(
       ``force=True`` if the latest snapshot really supersedes the rest
       (e.g. the same table re-encoded after an input change).
     - **in-flight runs**: a run that appended its ``status='running'``
-      marker but no ok rows yet, newer than the kept snapshot, is still
-      writing blobs — reclaiming its ``run_id=`` directory would corrupt
-      it.  If the run actually crashed, re-run it (resume supersedes it)
-      or pass ``force=True``.
+      marker but no ok rows yet may still be writing blobs (marker
+      timestamps are run-START times, so age proves nothing) —
+      reclaiming its ``run_id=`` directory would corrupt it.  If the run
+      actually crashed, pass ``force=True`` (which also clears the stale
+      marker).
 
     The manifest swap is write-new → rename-old-away → rename-new-in; a
     crash between the two renames leaves the store readable by renaming
@@ -172,24 +203,25 @@ def vacuum_store(
             "vacuum_store(force=True) if the latest truly supersedes them"
         )
     committed = {r["run_id"] for r in ok_rows}
-    kept_ts = max(
-        r["finished_at"] for r in ok_rows if r["snapshot_id"] == snap
-    )
+    # ANY running marker without committed rows counts as in-flight —
+    # marker timestamps are run-START times, so comparing them against
+    # the kept snapshot's commit time would miss a long-running encode
+    # that started before the kept snapshot committed (and is still
+    # writing blobs).  The cost is that a crashed run's stale marker
+    # blocks vacuum until force=True; that is the safe direction.
     inflight = sorted(
         {
             r["run_id"]
             for r in rows
-            if r["status"] == "running"
-            and r["run_id"] not in committed
-            and r["finished_at"] >= kept_ts
+            if r["status"] == "running" and r["run_id"] not in committed
         }
     )
     if inflight and not force:
         raise RuntimeError(
-            f"uncommitted encode run(s) {inflight} newer than the kept "
-            f"snapshot exist under {out_dir} — an in-flight encode's blobs "
-            "would be reclaimed mid-write; wait for it to commit, re-run "
-            "it if it crashed, or vacuum_store(force=True)"
+            f"uncommitted encode run(s) {inflight} exist under {out_dir} — "
+            "an in-flight encode's blobs would be reclaimed mid-write; "
+            "wait for it to commit, or vacuum_store(force=True) if it "
+            "actually crashed (force also clears its stale marker)"
         )
     keep_runs = {
         r["run_id"] for r in ok_rows if r["snapshot_id"] == snap

@@ -61,6 +61,17 @@ def append_running_marker(
     (the row is metadata-sized; a Spark write job costs ~1 s of fixed
     overhead per encode run); remote URIs go through a Spark append.
     """
+    # Both writers derive the row from MANIFEST_SCHEMA — the single source
+    # of truth — so a schema change cannot leave marker files with a
+    # divergent layout in the append-only manifest directory (mixed file
+    # schemas read back nondeterministically under mergeSchema=false).
+    fields = [tuple(f.rsplit(" ", 1)) for f in MANIFEST_SCHEMA.split(", ")]
+    fixed = {
+        "run_id": run_id,
+        "snapshot_id": snapshot_id,
+        "part_id": -1,
+        "status": "running",
+    }
     mpath = manifest_path(out_dir)
     if "://" not in mpath or mpath.startswith("file:"):
         import datetime
@@ -68,49 +79,38 @@ def append_running_marker(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        pa_types = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "double": pa.float64(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
         local = mpath[len("file:"):] if mpath.startswith("file:") else mpath
         os.makedirs(local, exist_ok=True)
         now = datetime.datetime.now(datetime.timezone.utc)
         tbl = pa.table(
             {
-                "run_id": pa.array([run_id], pa.string()),
-                "snapshot_id": pa.array([snapshot_id], pa.string()),
-                "part_id": pa.array([-1], pa.int32()),
-                "codec": pa.array([None], pa.string()),
-                "n_docs": pa.array([None], pa.int64()),
-                "n_tokens": pa.array([None], pa.int64()),
-                "raw_bytes": pa.array([None], pa.int64()),
-                "comp_bytes": pa.array([None], pa.int64()),
-                "encode_s": pa.array([None], pa.float64()),
-                "checksum": pa.array([None], pa.int64()),
-                "n_distinct": pa.array([None], pa.int64()),
-                "n_runs": pa.array([None], pa.int64()),
-                "vmin": pa.array([None], pa.int64()),
-                "vmax": pa.array([None], pa.int64()),
-                "status": pa.array(["running"], pa.string()),
-                "finished_at": pa.array([now], pa.timestamp("us", tz="UTC")),
+                name: pa.array(
+                    [now if name == "finished_at" else fixed.get(name)],
+                    pa_types[typ],
+                )
+                for name, typ in fields
             }
         )
         pq.write_table(tbl, os.path.join(local, f"marker-{run_id}.parquet"))
         return
-    marker = spark.createDataFrame(
-        [(run_id, snapshot_id)], "run_id string, snapshot_id string"
-    ).select(
-        "run_id",
-        "snapshot_id",
-        F.lit(-1).cast("int").alias("part_id"),
-        F.lit(None).cast("string").alias("codec"),
+    marker = spark.range(1).select(
         *[
-            F.lit(None).cast("long").alias(c)
-            for c in ("n_docs", "n_tokens", "raw_bytes", "comp_bytes")
-        ],
-        F.lit(None).cast("double").alias("encode_s"),
-        *[
-            F.lit(None).cast("long").alias(c)
-            for c in ("checksum", "n_distinct", "n_runs", "vmin", "vmax")
-        ],
-        F.lit("running").alias("status"),
-        F.current_timestamp().alias("finished_at"),
+            (
+                F.current_timestamp()
+                if name == "finished_at"
+                else F.lit(fixed.get(name))
+            )
+            .cast(typ)
+            .alias(name)
+            for name, typ in fields
+        ]
     )
     append_manifest(marker, out_dir)
 

@@ -200,7 +200,17 @@ def run_lookup_at_scale(
     store = os.path.join(work_dir, "lookup_store")
     toks = synth_token_table(spark, n_docs)
     encode_token_table(spark, toks, store, resume=True)
-    m = read_manifest(spark, store).filter(F.col("status") == "ok")
+    # Scope EVERY reported number to the latest snapshot — the one both
+    # timed paths actually decode.  A reused work_dir can hold earlier
+    # runs' snapshots (resume appends); counting them would inflate the
+    # store totals and candidate ratios the table attributes the timings
+    # to.
+    from .encode.decode_job import _decoded_snapshot_ids
+
+    (latest_snap,) = _decoded_snapshot_ids(spark, store, "latest")
+    m = read_manifest(spark, store).filter(
+        (F.col("status") == "ok") & (F.col("snapshot_id") == latest_snap)
+    )
     tot = m.agg(
         F.sum("n_tokens").alias("t"),
         F.countDistinct("part_id").alias("p"),
@@ -216,8 +226,8 @@ def run_lookup_at_scale(
         .limit(k_ids)
         .collect()
     ]
-    cand_src = candidate_parts(spark, store, ids, source=src)
-    cand_any = candidate_parts(spark, store, ids)
+    cand_src = candidate_parts(spark, store, ids, source=src, snapshots="latest")
+    cand_any = candidate_parts(spark, store, ids, snapshots="latest")
     full_ms = _median_time(
         lambda: decode_token_table(spark, store).filter(
             F.col("doc_id").isin(ids)
@@ -312,13 +322,24 @@ def run_format_benchmark(
             .limit(3)
             .collect()
         ]
+        # ok-filter drops the part_id=-1 running markers; latest-snapshot
+        # scoping matches what the timed decode/lookup actually read
+        from .encode.decode_job import _decoded_snapshot_ids
+
+        (latest_snap,) = _decoded_snapshot_ids(spark, paths["blobs"], "latest")
         n_parts = (
             spark.read.parquet(manifest_path(paths["blobs"]))
+            .filter(
+                (F.col("status") == "ok")
+                & (F.col("snapshot_id") == latest_snap)
+            )
             .select("part_id")
             .distinct()
             .count()
         )
-        cand = candidate_parts(spark, paths["blobs"], ids, source=src_name)
+        cand = candidate_parts(
+            spark, paths["blobs"], ids, source=src_name, snapshots="latest"
+        )
         full_ms = _median_time(
             lambda: decode_token_table(spark, paths["blobs"]).filter(
                 F.col("doc_id").isin(ids)

@@ -92,7 +92,15 @@ def _session_fn(gap_seconds: int):
             # virtual empty predecessor: merges into the first run as a
             # no-op, so the no-state path needs no special casing below
             start, last, n, s = int(ts[0]), int(ts[0]), 0, 0.0
-        prev = np.concatenate(([last], ts[:-1]))
+        # Gap test against the MAX event time seen so far, not the raw
+        # positional predecessor: a late-but-above-watermark event older
+        # than the carried `last` must neither regress the session span
+        # nor shrink the effective gap window for later events.  Within
+        # the sorted batch the positional predecessor IS the running max,
+        # so only the carried `last` needs clamping — and once a genuine
+        # break occurs every later ts already exceeds last + gap, making
+        # the clamp a no-op past run 0.
+        prev = np.maximum(np.concatenate(([last], ts[:-1])), last)
         new_seg = ts - prev > gap_ms
         closed = []
         # run starts: index 0 plus every i>0 where the gap was exceeded;
@@ -109,14 +117,21 @@ def _session_fn(gap_seconds: int):
         n_runs = bounds.size
         for i in range(n_runs):  # O(sessions-in-batch), not O(events)
             if i == 0 and carry:
-                seg_start = start
+                # merged span covers both the carried session and run 0 —
+                # late events may extend it backward, never shrink it
+                # (an event older than start − gap merges too: with one
+                # open session per user there is no earlier session left
+                # to resurrect, the same collapse Spark's session_window
+                # merge applies)
+                seg_start = min(start, int(firsts[0]))
+                seg_last = max(last, int(lasts[0]))
                 seg_n = n + int(counts[0])
                 seg_s = s + float(sums[0])
             else:
                 seg_start = int(firsts[i])
+                seg_last = int(lasts[i])
                 seg_n = int(counts[i])
                 seg_s = float(sums[i])
-            seg_last = int(lasts[i])
             if i < n_runs - 1:
                 closed.append((seg_start, seg_last, seg_n, seg_s))
             else:

@@ -58,7 +58,12 @@ class FakeState:
 
 
 def ref_sessionize(open_state, events):
-    """Per-event loop reference: returns (closed sessions, open session)."""
+    """Per-event loop reference: returns (closed sessions, open session).
+
+    Merge semantics: an event within the gap of the session's LATEST seen
+    event extends the span in both directions (min start / max last) —
+    a late-but-in-gap event must never regress the span or the effective
+    gap window (the carried-state bug class)."""
     closed = []
     cur = tuple(open_state) if open_state is not None else None
     for ts, v in sorted(events, key=lambda e: e[0]):
@@ -68,7 +73,12 @@ def ref_sessionize(open_state, events):
             closed.append(cur)
             cur = (ts, ts, 1, float(v))
         else:
-            cur = (cur[0], ts, cur[2] + 1, cur[3] + float(v))
+            cur = (
+                min(cur[0], ts),
+                max(cur[1], ts),
+                cur[2] + 1,
+                cur[3] + float(v),
+            )
     return closed, cur
 
 
@@ -152,6 +162,20 @@ def test_kernel_timeout_emits_and_evicts(carried):
         r.closed_by,
     ) == (carried[0], carried[1], carried[2], carried[3], "timeout")
     assert not state.exists
+
+
+def test_late_event_does_not_regress_carried_session():
+    """Regression: carried session (start 9:45, last 10:00); a drain
+    delivers a late-but-above-watermark event at 9:50 and an on-time one
+    at 10:25.  The late event must not pull `last` back to 9:50 — that
+    would both shrink the timeout deadline and falsely split the 10:25
+    event (25 min after the TRUE last event) into a new session."""
+    m = 60_000
+    carried = (585 * m, 600 * m, 4, 4.0)  # 9:45 → 10:00
+    closed, state = run_kernel(carried, [[(590 * m, 1), (625 * m, 1)]])
+    assert closed == []  # everything merged into the one open session
+    assert state.get == (585 * m, 625 * m, 6, 6.0)
+    assert state.timeout_ts == 625 * m + GAP_MS
 
 
 def test_gap_boundary_is_strict():

@@ -311,6 +311,22 @@ def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     again = compact_store(spark, out, target_tokens=20_000)
     assert again == {"compacted": False, "n_snapshots": 1}
 
+    # the normal maintenance CYCLE keeps working: new epochs land on top
+    # of the vacuumed compaction (now the additive BASE, oldest snapshot)
+    # and a second compact must merge base + epochs, not refuse — the
+    # half-compacted guard only fires on compactions with OLDER snapshots
+    # beside them
+    w3 = _wave(spark, 80, seed=23, prefix="m3_")
+    w3.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    cyc = compact_store(spark, out, target_tokens=20_000)
+    assert cyc["compacted"] and cyc["n_snapshots_merged"] == 2
+    v = verify_roundtrip(
+        union.unionByName(w3),
+        decode_token_table(spark, out, snapshots="all"),
+    )
+    assert v["ok"] and v["n_union"] == 330, v
+
 
 def test_stateful_sessionization_across_drains(spark, tmp_path):
     """applyInPandasWithState sessionizer: two availableNow drains over
