@@ -3,12 +3,16 @@
 No real cluster in this sandbox, so parallelism levels stand in for
 cluster sizes: the IDENTICAL encode job (same materialized input
 snapshot, same target partition size) runs in fresh subprocesses at
-``local[8]`` and ``local[32]`` (N and 4N cores); we report tokens/sec at
-both and efficiency = (throughput_4N / throughput_N) / 4.
+``local[N]`` and ``local[4N]`` (taskset-pinned to exactly that many host
+CPUs; ``--cores 1,4`` is the evidence recipe — see BASELINE.md for why
+the measurement moved from 2→8 to 1→4); we report tokens/sec at both and
+efficiency = (throughput_4N / throughput_N) / 4.  ``--mode executors``
+runs N REAL executor JVMs via ``local-cluster[N,1,4096]`` instead.
 
-Usage::
+Usage (the BASELINE.md recipe)::
 
-    python tools/scaling_bench.py [--docs 300000] [--target-tokens 600000]
+    TMPDIR=/dev/shm python tools/scaling_bench.py --docs 700000 \
+        --target-tokens 1500000 --cores 1,4 --repeats 6
 """
 
 from __future__ import annotations
