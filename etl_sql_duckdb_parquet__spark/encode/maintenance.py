@@ -16,9 +16,10 @@ distributed mapInArrow engine, no driver data path; vacuum touches only
 metadata (the manifest) plus directory deletes.  Readers must still be
 quiesced (same contract as Iceberg's ``expire_snapshots``), but writers
 are guarded: every encode run appends a ``status='running'`` manifest
-marker before moving blob bytes, and vacuum refuses (without ``force``)
-while an uncommitted run newer than the kept snapshot exists — an
-in-flight encode can't have its blobs reclaimed out from under it.
+marker before moving blob bytes, and vacuum refuses (without ``force``,
+which also clears stale markers) while ANY uncommitted run exists — an
+in-flight encode can't have its blobs reclaimed out from under it, and
+marker age proves nothing (markers carry run-START times).
 """
 
 from __future__ import annotations
@@ -66,47 +67,68 @@ def compact_store(
     in that state, and a second compact would re-union both, encode the
     doubled content as the new latest snapshot, and let its vacuum delete
     the clean originals.  Guarded: compacting a store that already holds
-    a compacted snapshot alongside other snapshots raises — vacuum first.
-    Likewise, ``vacuum=True`` validates the store is vacuum-able
-    (filesystem) BEFORE the merge encode, so the failure can't strand the
+    a compacted snapshot alongside OLDER snapshots raises — vacuum first.
+    Likewise, ``vacuum=True`` validates EVERY vacuum precondition BEFORE
+    the merge encode — filesystem store AND no uncommitted running
+    markers — so the auto-vacuum can't fail afterwards and strand the
     store in that half-compacted state.
     """
-    if vacuum:
-        _require_filesystem(out_dir)
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    snaps = [
-        r["snapshot_id"]
-        for r in manifest.filter(F.col("status") == "ok")
-        .select("snapshot_id")
-        .distinct()
+    rows = manifest.select("run_id", "snapshot_id", "status").collect()
+    if vacuum:
+        _require_filesystem(out_dir)
+        committed = {r["run_id"] for r in rows if r["status"] == "ok"}
+        pre_inflight = sorted(
+            {
+                r["run_id"]
+                for r in rows
+                if r["status"] == "running" and r["run_id"] not in committed
+            }
+        )
+        if pre_inflight:
+            raise RuntimeError(
+                f"uncommitted encode run(s) {pre_inflight} exist under "
+                f"{out_dir} — the post-merge vacuum would refuse, leaving "
+                "the store half-compacted; wait for them to commit, clear "
+                "crashed markers with vacuum_store(force=True), or compact "
+                "with vacuum=False"
+            )
+    # one metadata job: per-snapshot FIRST- and LAST-commit times, from
+    # which the snapshot list also derives
+    snap_ts = (
+        manifest.filter(F.col("status") == "ok")
+        .groupBy("snapshot_id")
+        .agg(
+            F.min("finished_at").alias("born"),
+            F.max("finished_at").alias("last"),
+        )
         .collect()
-    ]
+    )
+    birth_ts = {r["snapshot_id"]: r["born"] for r in snap_ts}
+    last_ts = {r["snapshot_id"]: r["last"] for r in snap_ts}
+    snaps = sorted(birth_ts)
     if len(snaps) <= 1:
         return {"compacted": False, "n_snapshots": len(snaps)}
     # Half-compacted detection must NOT fire on the normal maintenance
     # cycle (compact → vacuum → more epochs land → compact again), where
     # the previous compaction legitimately survives as the OLDEST snapshot
     # (the additive base).  The hazard state is a compacted snapshot with
-    # anything OLDER next to it: those older snapshots are exactly what it
-    # merged (a compact whose vacuum never ran), so the union would
-    # double-count them.
-    commit_ts = {
-        r["snapshot_id"]: r["ts"]
-        for r in manifest.filter(F.col("status") == "ok")
-        .groupBy("snapshot_id")
-        .agg(F.max("finished_at").alias("ts"))
-        .collect()
-    }
+    # anything BORN EARLIER next to it: those snapshots' committed
+    # partitions are (at least partly) inside the compaction, so the
+    # union would double-count them.  Birth = MIN(finished_at): a crashed
+    # epoch that was merged half-committed and then RESUMED after the
+    # compaction keeps its early birth stamp, so it still trips the guard
+    # (its max(finished_at) would not).
     stale = sorted(
         c
         for c in snaps
         if _is_compacted(c)
-        and any(commit_ts[s] < commit_ts[c] for s in snaps if s != c)
+        and any(birth_ts[s] < birth_ts[c] for s in snaps if s != c)
     )
     if stale:
-        latest = max(snaps, key=lambda s: commit_ts[s])
+        latest = max(snaps, key=lambda s: last_ts[s])
         remedy = (
             "run vacuum_store() first (the compacted snapshot is the "
             "latest, so no force is needed)"

@@ -52,10 +52,12 @@ def append_running_marker(
     """One run-level ``status='running'`` manifest row, written BEFORE the
     encode starts moving data.
 
-    Lets maintenance distinguish a run that is still writing blobs from a
-    crashed one: a run_id with a running row and no ok rows is in-flight
-    (or died), and :func:`maintenance.vacuum_store` refuses to reclaim
-    blob directories while such a run is newer than the kept snapshot.
+    Lets maintenance see runs that may still be writing blobs: a run_id
+    with a running row and no ok rows is in-flight (or died — the marker
+    alone can't tell, its timestamp is the run START), and
+    :func:`maintenance.vacuum_store` refuses to reclaim blob directories
+    while any such run exists (``force=True`` overrides and clears the
+    marker).
     Every reader filters ``status == 'ok'``, so the marker is invisible to
     decode/resume.  Filesystem stores get a driver-side pyarrow write
     (the row is metadata-sized; a Spark write job costs ~1 s of fixed

@@ -34,6 +34,21 @@ from pyspark.sql import functions as F
 DOC_SCHEMA = "doc_id string, text string, lang string, source string, n_chars long"
 
 
+def _latest_ok_manifest(spark: SparkSession, store: str):
+    """(latest snapshot id, manifest rows scoped to it) — exactly what a
+    default ``decode``/``lookup`` reads: running markers and earlier
+    snapshots (a reused work dir accumulates them via resume) excluded,
+    so reported totals describe the store the timed paths decode."""
+    from .encode.decode_job import _decoded_snapshot_ids
+    from .encode.manifest import read_manifest
+
+    (snap,) = _decoded_snapshot_ids(spark, store, "latest")
+    m = read_manifest(spark, store).filter(
+        (F.col("status") == "ok") & (F.col("snapshot_id") == snap)
+    )
+    return snap, m
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -195,22 +210,10 @@ def run_lookup_at_scale(
     from .encode.encode_job import encode_token_table
     from .encode.synth import synth_token_table
 
-    from .encode.manifest import read_manifest
-
     store = os.path.join(work_dir, "lookup_store")
     toks = synth_token_table(spark, n_docs)
     encode_token_table(spark, toks, store, resume=True)
-    # Scope EVERY reported number to the latest snapshot — the one both
-    # timed paths actually decode.  A reused work_dir can hold earlier
-    # runs' snapshots (resume appends); counting them would inflate the
-    # store totals and candidate ratios the table attributes the timings
-    # to.
-    from .encode.decode_job import _decoded_snapshot_ids
-
-    (latest_snap,) = _decoded_snapshot_ids(spark, store, "latest")
-    m = read_manifest(spark, store).filter(
-        (F.col("status") == "ok") & (F.col("snapshot_id") == latest_snap)
-    )
+    _, m = _latest_ok_manifest(spark, store)
     tot = m.agg(
         F.sum("n_tokens").alias("t"),
         F.countDistinct("part_id").alias("p"),
@@ -322,21 +325,8 @@ def run_format_benchmark(
             .limit(3)
             .collect()
         ]
-        # ok-filter drops the part_id=-1 running markers; latest-snapshot
-        # scoping matches what the timed decode/lookup actually read
-        from .encode.decode_job import _decoded_snapshot_ids
-
-        (latest_snap,) = _decoded_snapshot_ids(spark, paths["blobs"], "latest")
-        n_parts = (
-            spark.read.parquet(manifest_path(paths["blobs"]))
-            .filter(
-                (F.col("status") == "ok")
-                & (F.col("snapshot_id") == latest_snap)
-            )
-            .select("part_id")
-            .distinct()
-            .count()
-        )
+        _, scoped_m = _latest_ok_manifest(spark, paths["blobs"])
+        n_parts = scoped_m.select("part_id").distinct().count()
         cand = candidate_parts(
             spark, paths["blobs"], ids, source=src_name, snapshots="latest"
         )

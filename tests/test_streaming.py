@@ -417,6 +417,106 @@ def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
     vacuum_store(spark, out)
 
 
+def test_compact_prechecks_inflight_before_encode(spark, tmp_path):
+    """compact_store(vacuum=True) must fail BEFORE the merge encode when
+    an uncommitted running marker exists — otherwise the post-merge
+    vacuum raises and strands the store half-compacted (originals +
+    compaction coexisting).  vacuum=False still proceeds."""
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import (
+        compact_store,
+        read_manifest,
+    )
+    from etl_sql_duckdb_parquet__spark.encode.manifest import (
+        append_running_marker,
+    )
+
+    landing = str(tmp_path / "pc_landing")
+    out = str(tmp_path / "pc_encoded")
+    w1 = _wave(spark, 80, seed=71, prefix="p1_")
+    w1.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w2 = _wave(spark, 60, seed=72, prefix="p2_")
+    w2.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    append_running_marker(spark, out, "run_precheck_sim", "snap_sim")
+
+    n_snaps_before = (
+        read_manifest(spark, out)
+        .filter(F.col("status") == "ok")
+        .select("snapshot_id")
+        .distinct()
+        .count()
+    )
+    with pytest.raises(RuntimeError, match="run_precheck_sim"):
+        compact_store(spark, out, target_tokens=20_000)
+    # the guard fired BEFORE the merge encode: no compacted snapshot landed
+    n_snaps_after = (
+        read_manifest(spark, out)
+        .filter(F.col("status") == "ok")
+        .select("snapshot_id")
+        .distinct()
+        .count()
+    )
+    assert n_snaps_after == n_snaps_before == 2
+    # deferred-vacuum compaction is still allowed (no auto-vacuum to strand)
+    result = compact_store(spark, out, target_tokens=20_000, vacuum=False)
+    assert result["compacted"] and result["n_snapshots_merged"] == 2
+
+
+def test_compact_guard_catches_resumed_epoch(spark, tmp_path):
+    """An epoch whose FIRST commit predates the compaction (a crashed
+    encode merged half-committed, then resumed later) must trip the
+    half-compacted guard even though its max(finished_at) is newer than
+    the compaction — re-compacting would double-count its early parts."""
+    import datetime as dt
+
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import compact_store
+    from etl_sql_duckdb_parquet__spark.encode.manifest import (
+        MANIFEST_COLS,
+        append_manifest,
+        read_manifest,
+    )
+
+    landing = str(tmp_path / "re_landing")
+    out = str(tmp_path / "re_encoded")
+    w1 = _wave(spark, 80, seed=81, prefix="r1_")
+    w1.write.parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    w2 = _wave(spark, 60, seed=82, prefix="r2_")
+    w2.write.mode("append").parquet(landing)
+    run_available_now(spark, landing, out, target_tokens=20_000)
+    compact_store(spark, out, target_tokens=20_000)
+
+    # simulate the resumed epoch: one ok row BORN long before the
+    # compaction plus one finished long after it, so min(finished_at)
+    # predates the compaction while max(finished_at) is the newest in the
+    # store — the state the old max-based guard missed
+    base = read_manifest(spark, out).filter(F.col("status") == "ok").limit(1)
+    for ts in (
+        dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+        dt.datetime(2035, 1, 1, tzinfo=dt.timezone.utc),
+    ):
+        resumed = base.select(
+            *[
+                F.lit("run_resumed_sim").alias(c)
+                if c == "run_id"
+                else F.lit("snap_resumed_epoch").alias(c)
+                if c == "snapshot_id"
+                else F.lit(ts).cast("timestamp").alias(c)
+                if c == "finished_at"
+                else F.col(c)
+                for c in MANIFEST_COLS
+            ]
+        )
+        append_manifest(resumed, out)
+    with pytest.raises(RuntimeError, match="compacted snapshot"):
+        compact_store(spark, out, target_tokens=20_000, vacuum=False)
+
+
 def test_vacuum_refuses_additive_epochs(spark, tmp_path):
     """Direct vacuum on a multi-epoch streamed store must refuse: earlier
     epochs are additive, not superseded — vacuuming would silently drop
