@@ -417,6 +417,69 @@ def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
     vacuum_store(spark, out)
 
 
+def test_streaming_dedup_across_drains(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based feed dedup: an in-batch
+    duplicate and a cross-drain re-delivery (state carried by the
+    checkpoint) are both dropped; new keys pass through exactly once."""
+    import datetime as dt
+
+    from etl_sql_duckdb_parquet__spark.streaming import dedup_stream
+
+    landing = str(tmp_path / "dd_landing")
+    outdir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sch = "doc_id string, ts timestamp_ntz, value double"
+
+    def drain():
+        rsch = spark.read.parquet(landing).schema
+        src = spark.readStream.schema(rsch).parquet(landing)
+        out = dedup_stream(
+            src, key_cols=["doc_id"], ts_col="ts", watermark="1 hour"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(outdir)
+        return {r["doc_id"] for r in got.collect()}, got.count()
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        w1 = spark.createDataFrame(
+            [
+                ("d1", t0, 1.0),
+                ("d2", t0 + dt.timedelta(minutes=1), 2.0),
+                ("d1", t0 + dt.timedelta(minutes=2), 1.5),  # in-batch dup
+                ("d3", t0 + dt.timedelta(minutes=3), 3.0),
+            ],
+            sch,
+        )
+        w1.write.parquet(landing)
+        ids, n = drain()
+        assert ids == {"d1", "d2", "d3"} and n == 3
+        w2 = spark.createDataFrame(
+            [
+                ("d2", t0 + dt.timedelta(minutes=4), 2.0),  # re-delivery
+                ("d4", t0 + dt.timedelta(minutes=5), 4.0),
+            ],
+            sch,
+        )
+        w2.write.mode("append").parquet(landing)
+        ids, n = drain()
+        # d2's re-delivery hit the checkpointed state entry and was
+        # dropped; only the genuinely new d4 was emitted
+        assert ids == {"d1", "d2", "d3", "d4"} and n == 4
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
 def test_compact_prechecks_inflight_before_encode(spark, tmp_path):
     """compact_store(vacuum=True) must fail BEFORE the merge encode when
     an uncommitted running marker exists — otherwise the post-merge
