@@ -60,10 +60,17 @@ def _make_decoder(columns: list[str]):
                         ).astype(np.int32)
                         # int32 offsets => plain ListArray (not LargeList);
                         # per-blob token counts are bounded by the ~2M-token
-                        # partition plan
-                        offsets = np.concatenate(
-                            ([0], np.cumsum(lengths))
-                        ).astype(np.int32)
+                        # partition plan AND enforced at encode time
+                        # (_encode_blob_row raises past 2^31-1) — this
+                        # check guards stores written by foreign tools
+                        offsets64 = np.concatenate(([0], np.cumsum(lengths)))
+                        if offsets64[-1] > 2**31 - 1:
+                            raise ValueError(
+                                f"blob holds {offsets64[-1]} tokens, beyond "
+                                "the int32 Arrow list-offset range — "
+                                "re-encode with a smaller target_tokens"
+                            )
+                        offsets = offsets64.astype(np.int32)
                         arr = pa.ListArray.from_arrays(
                             pa.array(offsets), pa.array(values)
                         )
@@ -113,34 +120,7 @@ def winning_blobs(
     Within a snapshot, the winner per part_id is the latest OK run, so a
     resumed/re-run snapshot still dedupes exactly.
     """
-    manifest = read_manifest(spark, out_dir)
-    if manifest is None:
-        raise FileNotFoundError(f"no manifest under {out_dir}")
-    ok = manifest.filter(F.col("status") == "ok")
-    if snapshots == "latest":
-        latest = (
-            ok.orderBy(F.desc("finished_at"), F.desc("run_id"))
-            .select("snapshot_id")
-            .first()
-        )
-        if latest is None:
-            raise ValueError(
-                f"manifest under {out_dir} has no status='ok' rows — "
-                "nothing to decode (all runs failed or were aborted)"
-            )
-        ok = ok.filter(F.col("snapshot_id") == latest["snapshot_id"])
-    elif snapshots.startswith("snap_"):
-        ok = ok.filter(F.col("snapshot_id") == snapshots)
-        if ok.select("part_id").first() is None:
-            raise ValueError(
-                f"snapshot {snapshots!r} has no status='ok' manifest rows "
-                f"under {out_dir}"
-            )
-    elif snapshots != "all":
-        raise ValueError(
-            "snapshots must be 'latest', 'all', or an explicit "
-            f"'snap_...' id: {snapshots!r}"
-        )
+    ok, _ = _resolve_snapshots(spark, out_dir, snapshots)
     w = Window.partitionBy("snapshot_id", "part_id").orderBy(
         F.desc("finished_at"), F.desc("run_id")
     )
@@ -192,11 +172,21 @@ def decode_token_table(
     return blobs.select(*needed).mapInArrow(_make_decoder(cols), schema)
 
 
-def _decoded_snapshot_ids(
+def _resolve_snapshots(
     spark: SparkSession, out_dir: str, snapshots: str
-) -> set[str]:
-    """The ok snapshot ids a decode with this ``snapshots`` arg will read
-    (same resolution rules as :func:`winning_blobs`)."""
+) -> tuple[DataFrame, set[str] | None]:
+    """THE snapshot-arg resolution, shared by every decode-side entry
+    (``winning_blobs`` and the lookup coverage check) so the coverage
+    check can never validate a different snapshot set than the one the
+    decode actually reads.
+
+    Returns (ok manifest rows filtered to the selection, the selected
+    snapshot-id set — or ``None`` for ``"all"``, whose materialization is
+    a Spark job the winning-blobs path doesn't need).  Validates the
+    argument and, for an explicit ``snap_`` id, its existence — a typo'd
+    id must raise here, not surface downstream as a misleading
+    missing-plan/backfill error.
+    """
     manifest = read_manifest(spark, out_dir)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -207,16 +197,37 @@ def _decoded_snapshot_ids(
             .select("snapshot_id")
             .first()
         )
-        return {latest["snapshot_id"]} if latest else set()
+        if latest is None:
+            raise ValueError(
+                f"manifest under {out_dir} has no status='ok' rows — "
+                "nothing to decode (all runs failed or were aborted)"
+            )
+        snap = latest["snapshot_id"]
+        return ok.filter(F.col("snapshot_id") == snap), {snap}
     if snapshots.startswith("snap_"):
-        return {snapshots}
+        ok = ok.filter(F.col("snapshot_id") == snapshots)
+        if ok.select("part_id").first() is None:
+            raise ValueError(
+                f"snapshot {snapshots!r} has no status='ok' manifest rows "
+                f"under {out_dir}"
+            )
+        return ok, {snapshots}
     if snapshots != "all":
-        # same validation as winning_blobs — a typo must raise here, not
-        # silently widen the coverage check to every snapshot
         raise ValueError(
             "snapshots must be 'latest', 'all', or an explicit "
             f"'snap_...' id: {snapshots!r}"
         )
+    return ok, None
+
+
+def _decoded_snapshot_ids(
+    spark: SparkSession, out_dir: str, snapshots: str
+) -> set[str]:
+    """The ok snapshot ids a decode with this ``snapshots`` arg will read
+    (same resolution rules as :func:`winning_blobs` — shared resolver)."""
+    ok, snap_ids = _resolve_snapshots(spark, out_dir, snapshots)
+    if snap_ids is not None:
+        return snap_ids
     return {
         r["snapshot_id"]
         for r in ok.select("snapshot_id").distinct().collect()

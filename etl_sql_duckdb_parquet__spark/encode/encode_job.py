@@ -68,17 +68,41 @@ def input_stats(df: DataFrame) -> tuple[list, str]:
     sum, xor of per-doc hashes — all decomposable) into the planning
     aggregate means the job scans the input exactly twice total
     (plan+snapshot, then encode) instead of three times.
+
+    NULL contract: the same pass rejects NULL ``source``/``doc_id``/
+    ``tokens``/``n_tok`` rows with a clear error.  Silently they would be
+    far worse: a NULL source never matches the plan equi-join (the doc
+    vanishes from the store while the snapshot fingerprint counts it, so
+    resume believes it encoded), and a NULL tokens array round-trips
+    through Arrow as NaN→INT64_MIN in the lengths blob — a durably
+    committed corrupt partition.
     """
-    rows = sorted(
+    rows = (
         df.groupBy("source")
         .agg(
             F.sum("n_tok").alias("tok"),
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("h"),
+            F.sum(F.col("doc_id").isNull().cast("long")).alias("_null_id"),
+            F.sum(F.col("tokens").isNull().cast("long")).alias("_null_tok"),
+            F.sum(F.col("n_tok").isNull().cast("long")).alias("_null_n"),
         )
-        .collect(),
-        key=lambda r: r["source"],
+        .collect()
     )
+    nulls = {
+        "source": sum(r["n"] for r in rows if r["source"] is None),
+        "doc_id": sum(r["_null_id"] or 0 for r in rows),
+        "tokens": sum(r["_null_tok"] or 0 for r in rows),
+        "n_tok": sum(r["_null_n"] or 0 for r in rows),
+    }
+    if any(nulls.values()):
+        raise ValueError(
+            "encode input contains NULLs ("
+            + ", ".join(f"{k}: {v} rows" for k, v in nulls.items() if v)
+            + ") — clean upstream first (e.g. etl.transform coercions + a "
+            "filter); encoding them would silently drop or corrupt docs"
+        )
+    rows = sorted(rows, key=lambda r: r["source"])
     n = sum(r["n"] for r in rows)
     s = sum(r["tok"] or 0 for r in rows)
     h = 0
@@ -174,6 +198,16 @@ def _encode_blob_row(
 ) -> dict:
     """Encode one logical partition's accumulated columns → blob row dict."""
     t0 = time.perf_counter()
+    if len(values) > 2**31 - 1:
+        # the decode path materializes Arrow ListArray offsets as int32;
+        # fail the encode rather than durably committing an undecodable
+        # partition (reachable only via a single >2^31-token doc or an
+        # absurd target_tokens — both worth a loud stop)
+        raise ValueError(
+            f"partition {part_id} holds {len(values)} tokens, beyond the "
+            "int32 Arrow list-offset range — lower target_tokens or split "
+            "the oversized document"
+        )
     # per-column light codec first, then an optional DEFLATE entropy layer
     # where it still wins ≥2% (the reference's own layering: Parquet light
     # encodings + ZSTD on top)
@@ -357,6 +391,11 @@ def encode_token_table(
     batch passes the same salt and still dedupes exactly.
     """
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
+    if not 0 < target_tokens <= 2**31 - 1:
+        raise ValueError(
+            f"target_tokens={target_tokens} out of range (1 .. 2^31-1): "
+            "decode materializes int32 Arrow list offsets per partition"
+        )
     shares, data_snapshot = input_stats(df)
     planned, n_parts, plan_rows = plan_partitions(
         df, target_tokens, by_source, shares
@@ -379,13 +418,16 @@ def encode_token_table(
     if n_parts > 0:
         _append_plan_rows(spark, run_id, snapshot_id, plan_rows, out_dir)
 
-    skipped = 0
+    done_ids: set[int] = set()
     pending = planned
     if resume:
         done = completed_parts(spark, out_dir, snapshot_id)
         if done is not None:
-            skipped = done.count()
+            # metadata-sized (O(parts)); the id set also feeds the
+            # empty-partition backfill below
+            done_ids = {r["part_id"] for r in done.collect()}
             pending = planned.join(F.broadcast(done), "part_id", "left_anti")
+    skipped = len(done_ids)
 
     # same snapshot id ⇒ same data AND same plan parameters ⇒ same plan, so
     # "all planned parts already in the manifest" decides completion without
@@ -426,7 +468,10 @@ def encode_token_table(
     if n_files < slots:
         n_files = min(n_parts, slots)
     (
-        encoded.repartition(n_files)
+        # hash-partition by part_id: round-robin repartition would
+        # sortBeforeRepartition the widest rows of the whole job (each
+        # carries a partition's compressed blobs — see CLAUDE.md)
+        encoded.repartition(n_files, F.col("part_id"))
         .withColumn("run_id", F.lit(run_id)).write.mode("append")
         .option("compression", "none")
         .partitionBy("run_id")
@@ -434,17 +479,26 @@ def encode_token_table(
     )
 
     # derive manifest rows from the blobs just written (single encode pass —
-    # no recompute, no cache): read back this run's partition only
+    # no recompute, no cache): read ONLY this run's blob directory — a
+    # whole-tree read would re-list every historical run's files (O(store)
+    # metadata I/O per encode on an object store) just to filter them out
     # one small row per partition (meta column only — parquet column
     # pruning skips the blob bytes); cached because both the manifest
     # write and the totals aggregation consume it
-    written = (
-        spark.read.parquet(blobs_path(out_dir))
-        .filter(F.col("run_id") == run_id)
-        .select("part_id", F.from_json("meta", META_SCHEMA).alias("m"))
-        .select("part_id", "m.*")
-        .cache()
-    )
+    try:
+        written = (
+            spark.read.parquet(f"{blobs_path(out_dir)}/run_id={run_id}")
+            .select("part_id", F.from_json("meta", META_SCHEMA).alias("m"))
+            .select("part_id", "m.*")
+            .cache()
+        )
+        written.count()
+    except Exception:
+        # a run whose pending parts were ALL empty writes no blob rows,
+        # so its run_id= directory never materializes
+        written = spark.createDataFrame(
+            [], f"part_id int, {META_SCHEMA}"
+        ).cache()
     manifest_rows = written.select(
         F.lit(run_id).alias("run_id"),
         F.lit(snapshot_id).alias("snapshot_id"),
@@ -465,6 +519,38 @@ def encode_token_table(
     )
     append_manifest(manifest_rows, out_dir)
 
+    # A planned partition can legitimately receive ZERO docs (a salted hot
+    # source whose few doc-id hashes don't cover every salt bucket).  The
+    # kernel yields no blob row for it, so without a manifest row resume
+    # would re-plan it forever: skipped < n_parts on every re-run, each
+    # appending a new running marker that never commits — permanently
+    # blocking vacuum/compact.  Commit empty partitions as zero-row ok
+    # facts instead (no blob; decode's inner join to blobs skips them).
+    written_ids = {r["part_id"] for r in written.select("part_id").collect()}
+    empty_ids = sorted(set(range(n_parts)) - done_ids - written_ids)
+    if empty_ids:
+        empties = spark.createDataFrame(
+            [(p,) for p in empty_ids], "part_id int"
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            "part_id",
+            F.lit("empty").alias("codec"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("raw_bytes"),
+            F.lit(0).cast("long").alias("comp_bytes"),
+            F.lit(0.0).alias("encode_s"),
+            F.lit(0).cast("long").alias("checksum"),
+            *[
+                F.lit(None).cast("long").alias(c)
+                for c in ("n_distinct", "n_runs", "vmin", "vmax")
+            ],
+            F.lit("ok").alias("status"),
+            F.current_timestamp().alias("finished_at"),
+        )
+        append_manifest(empties, out_dir)
+
     agg = written.agg(
         F.count("*").alias("parts"),
         F.sum("n_docs").alias("docs"),
@@ -479,6 +565,7 @@ def encode_token_table(
         "snapshot_id": snapshot_id,
         "n_parts_planned": n_parts,
         "n_parts_skipped_resume": skipped,
+        "n_parts_empty": len(empty_ids),
         "n_parts_encoded": agg["parts"] or 0,
         "n_docs": agg["docs"] or 0,
         "n_tokens": agg["tokens"] or 0,

@@ -103,6 +103,86 @@ def test_encode_empty_and_zero_length_docs(spark, tmp_path):
     assert v["ok"] and v["n_union"] == 3, v
 
 
+def test_encode_rejects_null_inputs(spark, tmp_path):
+    """NULL source/doc_id/tokens must fail fast: a null source would
+    silently vanish through the plan equi-join (while the snapshot
+    fingerprint counts it), and a null tokens array would commit a corrupt
+    INT64_MIN length to the store."""
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    cases = [
+        ("null source", [("d1", [1], 1, None), ("d2", [2], 1, "a")]),
+        ("null doc_id", [(None, [1], 1, "a"), ("d2", [2], 1, "a")]),
+        ("null tokens", [("d1", None, 1, "a"), ("d2", [2], 1, "a")]),
+        ("null n_tok", [("d1", [1], None, "a"), ("d2", [2], 1, "a")]),
+    ]
+    for name, rows in cases:
+        df = spark.createDataFrame(rows, schema)
+        with pytest.raises(ValueError, match="NULL"):
+            encode_token_table(
+                spark, df, str(tmp_path / "enc_null"), target_tokens=10_000
+            )
+        assert name  # labels the failing case in tracebacks
+
+
+def test_encode_rejects_absurd_target_tokens(spark, tmp_path):
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    df = spark.createDataFrame([("d1", [1], 1, "a")], schema)
+    for bad in (0, -5, 2**31):
+        with pytest.raises(ValueError, match="target_tokens"):
+            encode_token_table(
+                spark, df, str(tmp_path / "enc_tt"), target_tokens=bad
+            )
+
+
+def test_empty_planned_partition_converges_on_resume(spark, tmp_path):
+    """A salted hot source with fewer docs than salt buckets leaves a
+    planned partition with ZERO docs; it must still land in the manifest
+    (codec='empty') so resume converges to a no-op instead of re-planning
+    forever — each phantom re-run would append a running marker that
+    never commits, permanently blocking vacuum/compact."""
+    from etl_sql_duckdb_parquet__spark.encode.maintenance import (
+        vacuum_store,
+    )
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    # 2 docs, 1200 tokens, target 1000 → salts=2; both doc-id hashes may
+    # land in one bucket; brute-force doc ids until they DO collide so the
+    # test is deterministic
+    from pyspark.sql import functions as SF
+
+    ids = None
+    for i in range(200):
+        cand = [f"x{i}_a", f"x{i}_b"]
+        buckets = {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(c,) for c in cand], "doc_id string"
+            )
+            .select(SF.pmod(SF.xxhash64("doc_id"), SF.lit(2)).alias("b"))
+            .collect()
+        }
+        if buckets == {0} or buckets == {1}:
+            ids = cand
+            break
+    assert ids is not None
+    df = spark.createDataFrame(
+        [(ids[0], list(range(600)), 600, "hot"),
+         (ids[1], list(range(600)), 600, "hot")],
+        schema,
+    )
+    out = str(tmp_path / "enc_emptypart")
+    s1 = encode_token_table(spark, df, out, target_tokens=1_000)
+    assert s1["n_parts_planned"] == 2
+    assert s1["n_parts_encoded"] == 1 and s1["n_parts_empty"] == 1
+    # resume is a true no-op: nothing pending, no new marker appended
+    s2 = encode_token_table(spark, df, out, target_tokens=1_000)
+    assert s2["n_parts_skipped_resume"] == 2 and s2["n_parts_encoded"] == 0
+    # and the store is vacuum-able (no permanently-uncommitted markers)
+    vacuum_store(spark, out)
+    v = verify_roundtrip(df, decode_token_table(spark, out))
+    assert v["ok"] and v["n_union"] == 2, v
+
+
 def test_decode_column_projection(spark, token_df, tmp_path):
     """Projected decode must match the full decode's projection, and the
     blob scan must prune the token blobs (each logical column lives in its
