@@ -468,10 +468,14 @@ def encode_token_table(
     if n_files < slots:
         n_files = min(n_parts, slots)
     (
-        # hash-partition by part_id: round-robin repartition would
-        # sortBeforeRepartition the widest rows of the whole job (each
-        # carries a partition's compressed blobs — see CLAUDE.md)
-        encoded.repartition(n_files, F.col("part_id"))
+        # round-robin ON PURPOSE: at this point the stream is one
+        # pre-packed blob row per logical partition (n_parts rows total),
+        # so hash-partitioning by part_id would leave ~1/e of the
+        # n_files write slots empty (birthday collisions) and serialize
+        # the sink behind the fullest one, while the CLAUDE.md
+        # round-robin penalty (sortBeforeRepartition over wide rows)
+        # costs nothing here — each task sorts at most a handful of rows
+        encoded.repartition(n_files)
         .withColumn("run_id", F.lit(run_id)).write.mode("append")
         .option("compression", "none")
         .partitionBy("run_id")
