@@ -259,15 +259,13 @@ def vacuum_store(
     # discard (mpath already holds the rewritten manifest) — and os.rename
     # below cannot replace a non-empty directory, so clear it first
     shutil.rmtree(old, ignore_errors=True)
-    # keep the surviving snapshot's rows, minus running markers of runs
-    # that never committed (they are either the forced-over in-flight run
-    # or long-dead crashes; keeping them would block every future vacuum)
+    # keep the surviving snapshot's rows, minus ALL running markers: after
+    # a successful vacuum no uncommitted run survives by construction
+    # (the in-flight guard above, or force), and committed runs' markers
+    # serve no further purpose — carrying them through the rewrite would
+    # leave permanent cruft every manifest reader must filter.
     survivors = manifest.filter(
-        (F.col("snapshot_id") == snap)
-        & ~(
-            (F.col("status") == "running")
-            & ~F.col("run_id").isin(sorted(committed))
-        )
+        (F.col("snapshot_id") == snap) & (F.col("status") != "running")
     )
     survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
     os.rename(mpath, old)

@@ -111,8 +111,10 @@ def minhash_signatures(
 def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, verified with exact Jaccard ≥ 0.5.
 
-    Rows-only driver check (xxhash64 has no DuckDB twin); pytest checks
-    recall against q41's exact answer at the same threshold.
+    Fully oracle-backed: the candidate pairs are verified with an EXACT
+    Jaccard join, so the final answer is hash-independent and the DuckDB
+    twin (same shingling + exact Jaccard ≥ 0.5) matches value-for-value.
+    pytest additionally checks recall against q41's exact answer.
     """
     docs = t(spark, sf_dir, "documents")
     # one shingling pass feeds BOTH the signatures and the verify step

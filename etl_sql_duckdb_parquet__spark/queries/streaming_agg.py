@@ -148,6 +148,23 @@ def q64_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            # ORACLE INVARIANT: the DuckDB twin derives closed_by purely
+            # from position (non-tail='gap', tail='timeout'), which
+            # matches the kernel only because this drain processes the
+            # single events.parquet file in EXACTLY ONE data batch (the
+            # watermark is 0 while it runs, so nothing closes by timeout
+            # mid-drain and no late row is dropped).  A batching change
+            # (maxFilesPerTrigger, a second file matching the glob) must
+            # fail loudly here, not as a silent driver-gate mismatch.
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) != 1:
+                raise AssertionError(
+                    f"q64 drained {len(data_batches)} data batches; the "
+                    "positional gap/timeout oracle is only valid for a "
+                    "single-data-batch drain"
+                )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
     return spark.table(qname).orderBy("user_id", "session_start_ms")
