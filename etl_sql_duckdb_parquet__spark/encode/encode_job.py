@@ -31,6 +31,7 @@ import time
 import uuid
 
 import numpy as np
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -371,6 +372,34 @@ def _append_plan_rows(
     ).coalesce(1).write.mode("append").parquet(ppath)
 
 
+def encode_sink_frame(
+    pending: DataFrame, n_parts: int, run_id: str
+) -> DataFrame:
+    """The blob frame exactly as the sink writes it — ONE shuffle total.
+
+    Explicit repartition by part_id (the user-specified partition count
+    suppresses AQE coalescing — every encode slot stays busy), then a
+    streaming Arrow kernel; no per-key sort, no pandas rows.  The sink
+    rides the encode stage's own tasks — one parquet file per non-empty
+    encode task — so the COMPRESSED bytes never cross a second shuffle.
+    Earlier rounds repacked to ~n_parts/16 files here
+    (``.repartition(n_files)`` between the kernel and the sink); at
+    100 TB that second exchange moves every compressed byte through the
+    network once more purely for file-count hygiene, which
+    ``compact_store`` already owns (it re-encodes the union into
+    full-size partitions AND collapses the file count).  Cost accepted:
+    ~n_parts files per run instead of ~n_parts/16 — footer overhead is
+    per-file ~KB against ~MB blob rows, and manifest derivation lists
+    only this run's directory.  Guarded by
+    ``test_encode_sink_has_no_repack_exchange``.
+    """
+    return (
+        pending.repartition(n_parts, F.col("part_id"))
+        .mapInArrow(_encode_arrow_partition, ENCODED_SCHEMA)
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 def encode_token_table(
     spark: SparkSession,
     df: DataFrame,
@@ -452,31 +481,9 @@ def encode_token_table(
     # reclaim its blob directory (maintenance.vacuum_store's guard)
     append_running_marker(spark, out_dir, run_id, snapshot_id)
 
-    # explicit repartition by part_id (the user-specified partition count
-    # suppresses AQE coalescing — every encode slot stays busy), then a
-    # streaming Arrow kernel; no per-key sort, no pandas rows
-    encoded = pending.repartition(n_parts, F.col("part_id")).mapInArrow(
-        _encode_arrow_partition, ENCODED_SCHEMA
-    )
-    # pack several blob rows per output file (parquet footer overhead is
-    # per file) while keeping enough write tasks to parallelize the final
-    # sink — at 1M partitions this is ~63k files; when the 1:16 packing
-    # would leave write slots idle (few partitions, many cores) widen to
-    # one file per slot so the sink stage never serializes on a tail
-    slots = spark.sparkContext.defaultParallelism
-    n_files = max(1, math.ceil(n_parts / 16))
-    if n_files < slots:
-        n_files = min(n_parts, slots)
     (
-        # round-robin ON PURPOSE: at this point the stream is one
-        # pre-packed blob row per logical partition (n_parts rows total),
-        # so hash-partitioning by part_id would leave ~1/e of the
-        # n_files write slots empty (birthday collisions) and serialize
-        # the sink behind the fullest one, while the CLAUDE.md
-        # round-robin penalty (sortBeforeRepartition over wide rows)
-        # costs nothing here — each task sorts at most a handful of rows
-        encoded.repartition(n_files)
-        .withColumn("run_id", F.lit(run_id)).write.mode("append")
+        encode_sink_frame(pending, n_parts, run_id)
+        .write.mode("append")
         .option("compression", "none")
         .partitionBy("run_id")
         .parquet(blobs_path(out_dir))
@@ -497,9 +504,16 @@ def encode_token_table(
             .cache()
         )
         written.count()
-    except Exception:
-        # a run whose pending parts were ALL empty writes no blob rows,
-        # so its run_id= directory never materializes
+    except AnalysisException as e:
+        # A run whose pending parts were ALL empty writes no blob rows, so
+        # its run_id= directory never materializes — and ONLY that case may
+        # take the empty fallback.  Any other failure (transient FS error,
+        # corrupt footer, executor death) must re-raise: swallowing it here
+        # would let the empty-partition backfill below durably commit
+        # status='ok' codec='empty' manifest rows for partitions that DO
+        # hold data — silent loss that resume then treats as complete.
+        if (e.getCondition() or "") != "PATH_NOT_FOUND":
+            raise
         written = spark.createDataFrame(
             [], f"part_id int, {META_SCHEMA}"
         ).cache()

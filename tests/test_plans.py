@@ -175,6 +175,41 @@ def test_q55_neardup_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_encode_sink_has_no_repack_exchange(spark):
+    """The blob sink must ride the encode stage's own tasks: exactly ONE
+    shuffle in the whole encode plan (the part_id repartition feeding the
+    mapInArrow kernel), and in particular no round-robin repack exchange
+    between the kernel and the sink — at 100 TB the old
+    ``repartition(n_files)`` moved every compressed byte through the
+    network a second time purely for file packing (round-4 verdict's top
+    at-scale cost; compact_store owns file-count hygiene now)."""
+    from etl_sql_duckdb_parquet__spark.encode import (
+        plan_partitions,
+        synth_token_table,
+    )
+    from etl_sql_duckdb_parquet__spark.encode.encode_job import (
+        encode_sink_frame,
+        input_stats,
+    )
+
+    df = synth_token_table(spark, n_docs=200, seed=5)
+    shares, _ = input_stats(df)
+    planned, n_parts, _ = plan_partitions(
+        df, target_tokens=20_000, shares=shares
+    )
+    plan = plan_of(
+        encode_sink_frame(planned, n_parts, "run_plan_test"), "simple"
+    )
+    # the single data shuffle: hash on part_id into the kernel
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # no repack between kernel and sink (and no other shuffle shape)
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the kernel sits ABOVE the exchange (top-down plan print), i.e. the
+    # frame the sink writes is the kernel's direct output
+    assert plan.index("MapInArrow") < plan.index("Exchange"), plan
+
+
 def test_similarity_dot_products_are_codegen(spark):
     """The unrolled dot product must stay out of interpreted HOF-lambda
     land: no zip_with/lambda anywhere, and (in the post-AQE final plan —
