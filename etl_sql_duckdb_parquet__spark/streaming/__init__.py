@@ -3,7 +3,7 @@ arriving tokenized-sequence files (:mod:`.incremental`), the custom
 stateful gap-sessionization operator (:mod:`.sessions`), and watermark-
 bounded exact deduplication of a landing feed (:mod:`.dedup`)."""
 
-from .dedup import dedup_stream
+from .dedup import dedup_stream, run_dedup_available_now
 from .incremental import encode_stream, run_available_now
 from .sessions import run_sessionize_available_now, sessionize_events
 
@@ -11,6 +11,7 @@ __all__ = [
     "dedup_stream",
     "encode_stream",
     "run_available_now",
+    "run_dedup_available_now",
     "run_sessionize_available_now",
     "sessionize_events",
 ]

@@ -30,7 +30,7 @@ runs against a Kafka source on a real cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,70 @@ def dedup_stream(
     return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    key_cols: list[str] | tuple[str, ...] = ("doc_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    path_glob_filter: str | None = None,
+) -> dict:
+    """Drain ``input_dir`` (availableNow) through the deduper into a
+    parquet sink; returns a METADATA-sized audit report::
+
+        {"n_input_rows": int,               # rows this drain consumed
+         "n_emitted": int,                  # unique rows appended
+         "n_duplicates_dropped": int,       # in-horizon re-deliveries
+         "rows_dropped_by_watermark": int}  # too-late rows (state audit)
+
+    This is the production-parity audit trail the reference kept per ETL
+    run (``src/history.py:55-87``): every drain accounts for each input
+    row as emitted, deduped, or watermark-dropped.  All counts come from
+    the streaming progress JSON (driver-side, O(batches)) plus ONE
+    distributed count over just this drain's sink files — never O(data)
+    driver traffic.
+    """
+    from ._drain import data_files, new_files_frame, rows_dropped_by_watermark
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        before_files = data_files(output_dir)
+        probe = spark.read
+        if path_glob_filter:
+            probe = probe.option("pathGlobFilter", path_glob_filter)
+        sch = probe.parquet(input_dir).schema
+        reader = spark.readStream.schema(sch)
+        if path_glob_filter:
+            reader = reader.option("pathGlobFilter", path_glob_filter)
+        src = reader.parquet(input_dir)
+        out = dedup_stream(src, key_cols, ts_col, watermark)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_input = sum(p["numInputRows"] for p in q.recentProgress)
+        dropped = rows_dropped_by_watermark(q)
+        new_files = data_files(output_dir) - before_files
+        n_emitted = (
+            new_files_frame(spark, output_dir, new_files).count()
+            if new_files
+            else 0
+        )
+        return {
+            "n_input_rows": n_input,
+            "n_emitted": n_emitted,
+            "n_duplicates_dropped": n_input - n_emitted - dropped,
+            "rows_dropped_by_watermark": dropped,
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -177,10 +177,15 @@ def run_sessionize_available_now(
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     watermark: str = "1 hour",
     path_glob_filter: str | None = None,
-) -> list:
+    report_rows: int | None = None,
+) -> dict:
     """Drain ``input_dir`` (availableNow) through the sessionizer into a
-    parquet file sink at ``output_dir``; returns the rows EMITTED BY THIS
-    DRAIN, sorted.
+    parquet file sink at ``output_dir``; returns a METADATA-sized report::
+
+        {"emitted_sessions": int,
+         "emitted_by": {"gap": int, "timeout": int},
+         "rows_dropped_by_watermark": int,   # per-drain late-data audit
+         "rows": [...] | None}               # only when report_rows set
 
     The sink must be fault-tolerant for checkpoint RECOVERY (the memory
     sink can start with a checkpoint but cannot resume one), so closed
@@ -190,30 +195,23 @@ def run_sessionize_available_now(
     resume open sessions exactly where the previous drain left them —
     the stop-and-catch-up cadence of a scheduled ingest job.
 
-    Scale note: the emitted-rows return is computed by diffing the sink's
-    data-file listing before/after the drain (metadata-only) and reading
-    JUST the new files through the ``_spark_metadata``-respecting reader —
-    driver traffic is O(this drain's sessions), never O(sink history).
-    Stale uncommitted files from a crashed earlier drain sit in the
-    before-listing and are ignored by the committed-files reader, so a
-    recovery drain reports exactly its own replayed emissions.
+    Scale note: the report counts are aggregated DISTRIBUTED over just
+    this drain's sink files (listing diff before/after the drain, read
+    back through the ``_spark_metadata``-respecting reader) — driver
+    traffic is O(1) numbers, never O(emitted sessions); a backfill drain
+    that closes hundreds of millions of sessions reports the same few
+    scalars.  Raw rows are returned only under an explicit ``report_rows``
+    cap, fetched as a sorted ``limit(cap)``.  Stale uncommitted files from
+    a crashed earlier drain sit in the before-listing and are ignored by
+    the committed-files reader, so a recovery drain reports exactly its
+    own replayed emissions.
     """
-    import os
-
-    def _data_files() -> set:
-        found = set()
-        for root, dirs, files in os.walk(output_dir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            found.update(
-                f for f in files
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-        return found
+    from ._drain import data_files, new_files_frame, rows_dropped_by_watermark
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        before_files = _data_files()
+        before_files = data_files(output_dir)
         probe = spark.read
         if path_glob_filter:
             # scope the schema probe the same way as the stream, else a
@@ -234,21 +232,34 @@ def run_sessionize_available_now(
             .start()
         )
         q.awaitTermination()
-        new_files = _data_files() - before_files
+        report = {
+            "emitted_sessions": 0,
+            "emitted_by": {"gap": 0, "timeout": 0},
+            "rows_dropped_by_watermark": rows_dropped_by_watermark(q),
+            "rows": [] if report_rows is not None else None,
+        }
+        new_files = data_files(output_dir) - before_files
         if not new_files:
-            return []
-        # file-sink part names are per-batch UUIDs, so basenames identify
-        # this drain's files uniquely; the dir read goes through
-        # _spark_metadata (committed files only)
-        emitted = spark.read.parquet(output_dir).where(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).isin(
-                [*new_files]
-            )
-        )
-        rows = [r.asDict() for r in emitted.collect()]
-        return sorted(
-            rows, key=lambda r: (r["user_id"], r["session_start"])
-        )
+            return report
+        emitted = new_files_frame(spark, output_dir, new_files)
+        counts = {
+            r["closed_by"]: r["n"]
+            for r in emitted.groupBy("closed_by")
+            .agg(F.count("*").alias("n"))
+            .collect()  # ≤2 rows
+        }
+        report["emitted_by"] = {
+            k: counts.get(k, 0) for k in ("gap", "timeout")
+        }
+        report["emitted_sessions"] = sum(counts.values())
+        if report_rows is not None:
+            report["rows"] = [
+                r.asDict()
+                for r in emitted.orderBy("user_id", "session_start")
+                .limit(report_rows)
+                .collect()
+            ]
+        return report
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
 
@@ -275,6 +286,13 @@ def main(argv: list | None = None) -> dict:
     ap.add_argument("--watermark", default="1 hour")
     ap.add_argument("--glob", default=None,
                     help="pathGlobFilter to scope the watched directory")
+    ap.add_argument(
+        "--report-rows",
+        type=int,
+        default=None,
+        help="include up to N emitted rows in the report (default: counts "
+        "only — a backfill drain's emitted set is unbounded)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -282,7 +300,7 @@ def main(argv: list | None = None) -> dict:
 
     spark = get_spark(cores=args.cores, app_name="sessionize_stream")
     t0 = time.perf_counter()
-    emitted = run_sessionize_available_now(
+    report = run_sessionize_available_now(
         spark,
         args.input_dir,
         args.checkpoint,
@@ -290,18 +308,21 @@ def main(argv: list | None = None) -> dict:
         gap_seconds=args.gap_seconds,
         watermark=args.watermark,
         path_glob_filter=args.glob,
+        report_rows=args.report_rows,
     )
     result = {
         "mode": "sessionize_available_now",
         "input_dir": args.input_dir,
         "out": args.out,
-        "emitted_sessions": len(emitted),
-        "emitted_by": {
-            k: sum(1 for r in emitted if r["closed_by"] == k)
-            for k in ("gap", "timeout")
-        },
+        "emitted_sessions": report["emitted_sessions"],
+        "emitted_by": report["emitted_by"],
+        "rows_dropped_by_watermark": report["rows_dropped_by_watermark"],
         "wall_s": round(time.perf_counter() - t0, 3),
     }
+    if args.report_rows is not None:
+        result["rows"] = [
+            {k: str(v) for k, v in r.items()} for r in report["rows"]
+        ]
     print(json.dumps(result))
     return result
 

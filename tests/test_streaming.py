@@ -351,18 +351,40 @@ def test_stateful_sessionization_across_drains(spark, tmp_path):
         schema,
     ).write.parquet(landing)
     first = run_sessionize_available_now(
-        spark, landing, ckpt, out, gap_seconds=1800, watermark="10 minutes"
+        spark,
+        landing,
+        ckpt,
+        out,
+        gap_seconds=1800,
+        watermark="10 minutes",
+        report_rows=100,
     )
     # nothing closes in wave 1: no gap exceeded, and the watermark
     # (10:05 − 10 min) is far below every timeout (last + 30 min)
-    assert first == []
+    assert first["rows"] == [] and first["emitted_sessions"] == 0
+    assert first["rows_dropped_by_watermark"] == 0
 
+    # wave 2 carries one TOO-LATE event (9:30 < the checkpointed
+    # watermark 10:05 − 10 min): it must be dropped pre-state and show
+    # up in the per-drain audit count, never as a session
     spark.createDataFrame(
-        [(t(10, 20), 1, 3.0), (t(13, 0), 1, 4.0)], schema
+        [(t(10, 20), 1, 3.0), (t(13, 0), 1, 4.0), (t(9, 30), 3, 9.0)],
+        schema,
     ).write.mode("append").parquet(landing)
     second = run_sessionize_available_now(
-        spark, landing, ckpt, out, gap_seconds=1800, watermark="10 minutes"
+        spark,
+        landing,
+        ckpt,
+        out,
+        gap_seconds=1800,
+        watermark="10 minutes",
+        report_rows=100,
     )
+    # report counts are computed DISTRIBUTED (no O(sessions) collect) and
+    # must agree with the capped row sample
+    assert second["emitted_sessions"] == 2
+    assert second["emitted_by"] == {"gap": 1, "timeout": 1}
+    assert second["rows_dropped_by_watermark"] == 1
     got = [
         (
             r["user_id"],
@@ -372,7 +394,7 @@ def test_stateful_sessionization_across_drains(spark, tmp_path):
             r["sum_value"],
             r["closed_by"],
         )
-        for r in second
+        for r in second["rows"]
     ]
     assert got == [
         # user 1: wave-2's 10:20 event EXTENDED the checkpointed open
@@ -383,8 +405,20 @@ def test_stateful_sessionization_across_drains(spark, tmp_path):
         # 10:00 + 30 min timeout → evicted with its single event
         (2, t(10, 0), t(10, 0), 1, 5.0, "timeout"),
     ]
-    # user 1's new open session (13:00) is still held as state, not emitted
-    assert all(r["session_start"] != t(13, 0) for r in second)
+    # user 1's new open session (13:00) is still held as state, not
+    # emitted; user 3's late event never became a session
+    assert all(r["session_start"] != t(13, 0) for r in second["rows"])
+    assert all(r["user_id"] != 3 for r in second["rows"])
+    # the rows cap truncates without touching the counts
+    capped = run_sessionize_available_now(
+        spark,
+        landing,
+        ckpt,
+        out,
+        gap_seconds=1800,
+        watermark="10 minutes",
+    )
+    assert capped["rows"] is None  # counts-only by default
 
 
 def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
@@ -418,12 +452,16 @@ def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
 
 
 def test_streaming_dedup_across_drains(spark, tmp_path):
-    """dropDuplicatesWithinWatermark-based feed dedup: an in-batch
-    duplicate and a cross-drain re-delivery (state carried by the
-    checkpoint) are both dropped; new keys pass through exactly once."""
+    """dropDuplicatesWithinWatermark-based feed dedup via the drain
+    runner: an in-batch duplicate and a cross-drain re-delivery (state
+    carried by the checkpoint) are both dropped and ACCOUNTED FOR in the
+    metadata-sized audit report; a too-late row lands in the
+    rows_dropped_by_watermark count; new keys pass through exactly once."""
     import datetime as dt
 
-    from etl_sql_duckdb_parquet__spark.streaming import dedup_stream
+    from etl_sql_duckdb_parquet__spark.streaming import (
+        run_dedup_available_now,
+    )
 
     landing = str(tmp_path / "dd_landing")
     outdir = str(tmp_path / "dd_out")
@@ -432,52 +470,58 @@ def test_streaming_dedup_across_drains(spark, tmp_path):
     sch = "doc_id string, ts timestamp_ntz, value double"
 
     def drain():
-        rsch = spark.read.parquet(landing).schema
-        src = spark.readStream.schema(rsch).parquet(landing)
-        out = dedup_stream(
-            src, key_cols=["doc_id"], ts_col="ts", watermark="1 hour"
+        return run_dedup_available_now(
+            spark,
+            landing,
+            ckpt,
+            outdir,
+            key_cols=["doc_id"],
+            ts_col="ts",
+            watermark="1 hour",
         )
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", outdir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        got = spark.read.parquet(outdir)
-        return {r["doc_id"] for r in got.collect()}, got.count()
 
-    tz_before = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        w1 = spark.createDataFrame(
-            [
-                ("d1", t0, 1.0),
-                ("d2", t0 + dt.timedelta(minutes=1), 2.0),
-                ("d1", t0 + dt.timedelta(minutes=2), 1.5),  # in-batch dup
-                ("d3", t0 + dt.timedelta(minutes=3), 3.0),
-            ],
-            sch,
-        )
-        w1.write.parquet(landing)
-        ids, n = drain()
-        assert ids == {"d1", "d2", "d3"} and n == 3
-        w2 = spark.createDataFrame(
-            [
-                ("d2", t0 + dt.timedelta(minutes=4), 2.0),  # re-delivery
-                ("d4", t0 + dt.timedelta(minutes=5), 4.0),
-            ],
-            sch,
-        )
-        w2.write.mode("append").parquet(landing)
-        ids, n = drain()
-        # d2's re-delivery hit the checkpointed state entry and was
-        # dropped; only the genuinely new d4 was emitted
-        assert ids == {"d1", "d2", "d3", "d4"} and n == 4
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    def sunk_ids():
+        return {r["doc_id"] for r in spark.read.parquet(outdir).collect()}
+
+    w1 = spark.createDataFrame(
+        [
+            ("d1", t0, 1.0),
+            ("d2", t0 + dt.timedelta(minutes=1), 2.0),
+            ("d1", t0 + dt.timedelta(minutes=2), 1.5),  # in-batch dup
+            ("d3", t0 + dt.timedelta(minutes=3), 3.0),
+        ],
+        sch,
+    )
+    w1.write.parquet(landing)
+    rep = drain()
+    assert rep == {
+        "n_input_rows": 4,
+        "n_emitted": 3,
+        "n_duplicates_dropped": 1,
+        "rows_dropped_by_watermark": 0,
+    }
+    assert sunk_ids() == {"d1", "d2", "d3"}
+    w2 = spark.createDataFrame(
+        [
+            ("d2", t0 + dt.timedelta(minutes=4), 2.0),  # re-delivery
+            ("d4", t0 + dt.timedelta(minutes=5), 4.0),
+            # too late: below the checkpointed watermark (12:03 − 1 h)
+            ("d9", t0 - dt.timedelta(hours=2), 9.0),
+        ],
+        sch,
+    )
+    w2.write.mode("append").parquet(landing)
+    rep = drain()
+    # d2's re-delivery hit the checkpointed state entry and was dropped;
+    # d9 was watermark-dropped (audited separately from dedup); only the
+    # genuinely new d4 was emitted
+    assert rep == {
+        "n_input_rows": 3,
+        "n_emitted": 1,
+        "n_duplicates_dropped": 1,
+        "rows_dropped_by_watermark": 1,
+    }
+    assert sunk_ids() == {"d1", "d2", "d3", "d4"}
 
 
 def test_compact_prechecks_inflight_before_encode(spark, tmp_path):
