@@ -67,18 +67,25 @@ if _missing:  # pragma: no cover - import-time sanity
 #   1. oracle-backed queries (green-able), ascending by number — EXCEPT
 #   2. demoted oracle-backed queries whose SURVEY §2 row is already proven
 #      by another green query (q16 ⊂ A10 via q40, q44 ⊂ cosine via q45,
-#      q24 ⊂ F-family via q22/q23/q25/q26 + transform pytest) — these ride
-#      at the back of the oracle-backed block so the window always prefers
-#      unique-capability proofs (q24's slot goes to q64, the stateful
-#      streaming-sessionization proof, a capability no other query covers);
+#      q24/q23 ⊂ F-family via q22/q25/q26 + transform pytest, and q23's
+#      histogram-on-computed-key shape ⊂ A6 via q13) — these ride at the
+#      back of the oracle-backed block so the window always prefers
+#      unique-capability proofs (q24's slot went to q64, the stateful
+#      streaming-sessionization proof; q23's goes to q65, the IVF
+#      assignment-structure twin);
 #   3. no-oracle queries last (they can only ever produce rows-only checks,
 #      so a window slot is wasted on them).
 # All entries remain registered and value-checked by test_oracle_parity.py
-# regardless of position.
+# regardless of position.  The 50-slot budget is EXECUTABLY guarded by
+# tests/test_registry_window.py: adding an oracle-backed query without a
+# matching demotion fails the suite loudly instead of silently evicting a
+# green row (the round-3 bug class).
+DRIVER_WINDOW = 50
 _DEMOTED = (
     "q16_duplicate_events",
     "q44_top20_similar_pairs",
     "q24_ship_month",
+    "q23_props_extract",
 )
 
 

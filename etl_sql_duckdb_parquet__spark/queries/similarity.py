@@ -261,6 +261,140 @@ def q63_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_TWIN_CELLS = 32  # fixed quantizer size for the oracle-checkable twin
+_IVF_TWIN_REPLICAS = 2  # same multi-assignment R as the production IVF
+
+
+def q65_ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF twin: per-(cell, replica) assignment histogram.
+
+    q54's production IVF path is not SQL-expressible end-to-end (the
+    k-means trainer's partial-sum reduction order is
+    partition-arrival-dependent, and its assignment kernel folds dots
+    BLAS-style), so — the q63 trick applied to IVF — this twin recomputes
+    the exact ASSIGNMENT STRUCTURE the inverted file relies on with fully
+    deterministic, cross-engine-reproducible pieces:
+
+    - centroids = the ``_IVF_TWIN_CELLS`` vectors with the smallest
+      ``md5_60bit(vec_id)`` (the cross-engine portable hash,
+      ``common.md5_60bit``), unit-normalized with a SEQUENTIAL
+      sum-of-squares fold — i.e. the seeded-trainer's deterministic
+      seeding step, iteration 0;
+    - per-vector cell dots via a sequential-fold Arrow kernel whose IEEE
+      association matches DuckDB's ``list_dot_product`` bit-for-bit;
+    - top-``_IVF_TWIN_REPLICAS`` cells per vector with the same
+      (dot DESC, cell ASC) tie-break as the oracle's ``row_number``.
+
+    The resulting (cell, replica) population histogram value-checks the
+    multi-assignment candidate-generation structure of the last
+    unverified ANN path (q54 keeps its pytest recall check for the
+    trained quantizer).  Plan shape at 10^9 vectors: one TakeOrdered for
+    the 32 seeds (O(cells) driver traffic, same as production), one scan
+    through a vectorized Arrow projection, one 2-way explode, one hash
+    aggregate — no joins, no O(data) driver path.
+    """
+    from .common import md5_60bit
+
+    v = _vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    seeds = (
+        v.select("vec_id", "v")
+        .withColumn("_h", md5_60bit(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(_IVF_TWIN_CELLS)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seeds])
+    # sequential-fold norm (cumsum == DuckDB's list_dot_product(vec,vec)
+    # left-to-right association), then one elementwise divide — the
+    # centroid DOUBLES are bit-identical to the oracle's
+    norms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
+    cents = cents / norms[:, None]
+    n_replicas = min(_IVF_TWIN_REPLICAS, len(seeds))
+
+    def _assign(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # (n, cells, dim) signed terms → sequential fold along dim;
+            # chunked so the intermediate stays ~tens of MB per slice
+            out_cells = []
+            for lo in range(0, len(m), 2048):
+                mm = m[lo : lo + 2048]
+                dots = np.cumsum(
+                    mm[:, None, :] * cents[None, :, :], axis=2
+                )[:, :, -1]
+                # stable argsort of -dots == (dot DESC, cell ASC)
+                out_cells.append(
+                    np.argsort(-dots, axis=1, kind="stable")[:, :n_replicas]
+                )
+            top = np.concatenate(out_cells)
+            yield pd.DataFrame(
+                {
+                    "cell": top.ravel().astype(np.int32),
+                    "replica": np.tile(
+                        np.arange(n_replicas, dtype=np.int32), len(m)
+                    ),
+                }
+            )
+
+    return (
+        v.select("v")
+        .mapInPandas(_assign, "cell int, replica int")
+        .groupBy("cell", "replica")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell", "replica")
+    )
+
+
+def _oracle_ivf_cell_histogram() -> str:
+    return f"""
+        WITH v0 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+            WHERE len(embedding) = {_DIM}
+        ),
+        nz AS (
+            SELECT vec_id, vec FROM v0
+            WHERE sqrt(list_aggregate(list_transform(vec, x -> x * x),
+                                      'sum')) > 0
+        ),
+        h AS (
+            SELECT vec_id, vec,
+                   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS hh
+            FROM nz
+        ),
+        seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1
+                        AS INT) AS cell,
+                   list_transform(
+                       vec, x -> x / sqrt(list_dot_product(vec, vec))
+                   ) AS c
+            FROM h
+            QUALIFY row_number() OVER (ORDER BY hh, vec_id)
+                    <= {_IVF_TWIN_CELLS}
+        ),
+        dots AS (
+            SELECT nz.vec_id, s.cell, list_dot_product(nz.vec, s.c) AS d
+            FROM nz CROSS JOIN seeds s
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell ASC) AS rnk
+            FROM dots
+        )
+        SELECT cell, CAST(rnk - 1 AS INT) AS replica,
+               count(*) AS n_vectors
+        FROM ranked
+        WHERE rnk <= {_IVF_TWIN_REPLICAS}
+        GROUP BY cell, replica
+        ORDER BY cell, replica
+    """
+
+
 def _oracle_bucket_histogram() -> str:
     planes = lsh_plane_literals()
     legs = []
@@ -302,6 +436,7 @@ _SQL_VECTORS = f"""
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "q63_lsh_bucket_histogram": _oracle_bucket_histogram(),
+    "q65_ivf_cell_histogram": _oracle_ivf_cell_histogram(),
     "q44_top20_similar_pairs": f"""
         WITH {_SQL_VECTORS}
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
