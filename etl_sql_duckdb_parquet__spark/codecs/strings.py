@@ -23,14 +23,49 @@ import struct
 import numpy as np
 
 from .core import decode_int, encode_int_best
-from .fsst import CODEC_FSST, decode_fsst, encode_fsst, estimate_ratio
+from .fsst import CODEC_FSST, _sample, decode_fsst, encode_fsst, estimate_ratio
 
 CODEC_STRARR = 6
 CODEC_PLAINBYTES = 7
 CODEC_STRDICT = 8
 CODEC_PATTERNID = 12
 
-_FSST_GATE = 0.95  # use FSST only if the sampled ratio beats plain by ≥5%
+_FSST_GATE = 0.95  # vs plain: only when zstd is unavailable (fallback)
+
+# FSST selection decision table (round-5 cost guard).  The numpy FSST
+# compress kernel is a measured local optimum at ~11-14 MB/s warm
+# (fsst.py docstring) while the zstd-L1 wrap the caller applies to a
+# PLAIN buffer runs ~300+ MB/s — a ~10-25× encode-throughput gap.  FSST
+# therefore has to BUY its slot: it is selected only when its sampled
+# compressed size (table overhead included) undercuts the sampled
+# zstd-L1-on-plain size by ≥10% — a size win the entropy wrap cannot
+# recover, worth the throughput cost on cold-archive string columns.
+# Anything closer goes PLAIN and lets the caller's zwrap_best entropy
+# layer do the work at wire speed.
+#   sampled fsst/raw   sampled zstd/raw   pick
+#   0.50               0.90               FSST  (0.50 ≤ 0.9·0.90)
+#   0.85               0.90               PLAIN (zstd within 10%)
+#   0.95               0.40               PLAIN (zstd crushes text)
+_FSST_VS_ZSTD = 0.90
+
+
+def _zstd_sampled_ratio(sample: bytes) -> float | None:
+    """Sampled (compressed+header)/raw of the plain+zstd-L1 alternative —
+    what the caller's ``zwrap_best`` would achieve on a PLAIN buffer.
+    None when pyarrow lacks zstd (fall back to the plain gate)."""
+    from .core import _zstd_codec
+
+    pa = _zstd_codec()
+    if pa is None or not sample:
+        return None
+    z = pa.Codec("zstd", compression_level=1).compress(sample)
+    return (len(z) + 17) / len(sample)  # 17 = zwrap frame header
+
+
+def _fsst_pays(fsst_ratio: float, zstd_ratio: float) -> bool:
+    """True when FSST's sampled size win over zstd-on-plain clears the
+    threshold that pays for its ~10× slower encode kernel."""
+    return fsst_ratio <= _FSST_VS_ZSTD * zstd_ratio
 
 
 def _try_pattern_id(strs: list[bytes]) -> bytes | None:
@@ -86,11 +121,21 @@ def _decode_pattern_id(buf: memoryview, off: int) -> list[bytes]:
 
 
 def encode_bytes_best(data: bytes) -> bytes:
-    """Byte buffer: FSST if the sampled ratio clears the gate, else plain."""
-    if len(data) >= 64 and estimate_ratio(data) < _FSST_GATE:
-        blob = encode_fsst(data)
-        if len(blob) < 9 + len(data):
-            return blob
+    """Byte buffer: FSST only when it pays (see the decision table above),
+    else plain — the caller's ``zwrap_best`` entropy layer then captures
+    whatever redundancy is left at wire speed."""
+    if len(data) >= 64:
+        f_ratio = estimate_ratio(data)
+        z_ratio = _zstd_sampled_ratio(_sample(data))
+        pays = (
+            _fsst_pays(f_ratio, z_ratio)
+            if z_ratio is not None
+            else f_ratio < _FSST_GATE
+        )
+        if pays:
+            blob = encode_fsst(data)
+            if len(blob) < 9 + len(data):
+                return blob
     return struct.pack("<BQ", CODEC_PLAINBYTES, len(data)) + data
 
 

@@ -220,6 +220,46 @@ def test_fsst_throughput_vectorized():
     assert len(blob) < 0.5 * len(data)
 
 
+def test_fsst_selector_pays_for_its_throughput_cost():
+    """Round-5 cost guard: the FSST kernel runs ~10-25× slower than the
+    zstd-L1 wrap that a PLAIN buffer gets anyway, so the selector must
+    pick FSST only when its sampled size win over zstd-on-plain clears
+    the documented ≥10% threshold (decision table in codecs/strings.py)."""
+    from etl_sql_duckdb_parquet__spark.codecs import strings as S
+
+    # the decision function IS the documented table
+    assert S._fsst_pays(0.50, 0.90) is True
+    assert S._fsst_pays(0.85, 0.90) is False  # zstd within 10% → PLAIN
+    assert S._fsst_pays(0.95, 0.40) is False  # zstd crushes it → PLAIN
+    assert S._fsst_pays(0.36, 0.40) is True  # exactly at the threshold
+
+    # string-heavy repetitive text: zstd-L1 compresses it at wire speed,
+    # so the selector must go PLAIN (the old vs-plain gate picked FSST
+    # here and burned ~10× encode throughput for no net size win after
+    # the entropy wrap)
+    text = b"".join(
+        f"https://example.com/page/{i}?ref=abc".encode() for i in range(500)
+    )
+    assert S._zstd_sampled_ratio(text) < 0.5  # zstd really does crush it
+    blob = S.encode_bytes_best(text)
+    assert blob[0] == S.CODEC_PLAINBYTES
+    got, _ = S.decode_bytes(blob)
+    assert got == text
+
+    # when zstd genuinely can't touch the data but FSST can (forced via
+    # the sampled-ratio seam), FSST is still selected — the wiring keeps
+    # both outcomes reachable and the round-trip intact
+    orig = S._zstd_sampled_ratio
+    S._zstd_sampled_ratio = lambda sample: 1.0
+    try:
+        blob = S.encode_bytes_best(text)
+        assert blob[0] == S.CODEC_FSST
+        got, _ = S.decode_bytes(blob)
+        assert got == text
+    finally:
+        S._zstd_sampled_ratio = orig
+
+
 def test_fsst_table_respects_limits():
     table = build_table(FSST_CASES["urls"])
     assert len(table) <= 255
