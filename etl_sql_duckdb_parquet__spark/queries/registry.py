@@ -86,6 +86,10 @@ _DEMOTED = (
     "q44_top20_similar_pairs",
     "q24_ship_month",
     "q23_props_extract",
+    # q63's bucket-structure proof is subsumed by q66 (same seq-fold
+    # kernel + planes; a bucket error changes q66's pair set and fails
+    # the hash compare), whose slot proves the full near-dup operator
+    "q63_lsh_bucket_histogram",
 )
 
 

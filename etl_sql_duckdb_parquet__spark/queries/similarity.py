@@ -261,6 +261,114 @@ def q63_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COS = 0.40  # τ tuned to the synthetic embedding distribution
+
+
+def q66_embedding_neardup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully oracle-backed embedding near-dup: seq-fold LSH candidates +
+    exact cosine verify ≥ τ.
+
+    Same pipeline as the production q55 (bucket-join candidate
+    generation → exact-cosine verification, precision 1.0 by
+    construction), but the bucket ids come from the SEQUENTIAL-fold
+    kernel (:func:`_lsh_bucket_seq_udf`, the q63 twin) whose IEEE
+    association DuckDB reproduces bit-for-bit — so the ENTIRE operator
+    (candidate structure + pair set + verified cosines) is
+    value-checkable, not just its bucket histogram.  q63's standalone
+    histogram twin is demoted from the driver window in favor of this:
+    any bucket error here changes the pair set and fails the hash
+    compare, so the structure proof is subsumed.
+
+    Plan shape at 10^9 vectors: identical to q55 — the dedup shuffle
+    carries 16-byte id pairs only (vectors join back after the
+    distinct), no cross join, no driver data path.
+    """
+    v = _vectors(spark, sf_dir)
+    buckets = _lsh_bucket_seq_udf()
+    bucketed = v.select(
+        "vec_id",
+        F.posexplode(buckets(F.col("v"))).alias("table_idx", "bucket"),
+    )
+    a = bucketed.select(F.col("vec_id").alias("a_id"), "table_idx", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b_id"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.expr(_DOT) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
+    )
+
+
+def _oracle_embedding_neardup() -> str:
+    """Buckets via the q63 CASE-bit construction; norms via
+    ``list_dot_product(vec, vec)`` (proven sequential association — the
+    τ comparison happens on unrounded doubles, so the norm must match
+    Spark's unrolled sum bit-for-bit, not just to 6 decimals)."""
+    planes = lsh_plane_literals()
+    legs = []
+    for ti, table in enumerate(planes):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(vec, ["
+            + ", ".join(f"{float(p[i])}" for i in range(len(p)))
+            + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(table)
+        )
+        legs.append(
+            f"SELECT vec_id, {ti} AS table_idx, "
+            f"CAST({bits} AS INT) AS bucket FROM v"
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+        WITH {_SQL_VECTORS},
+        nd AS (
+            SELECT vec_id, vec,
+                   sqrt(list_dot_product(vec, vec)) AS nrm
+            FROM v
+        ),
+        cells AS ({union}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM cells a
+            JOIN cells b
+              ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ),
+        verified AS (
+            SELECT c.a_id, c.b_id,
+                   list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cos
+            FROM cand c
+            JOIN nd x ON x.vec_id = c.a_id
+            JOIN nd y ON y.vec_id = c.b_id
+        )
+        SELECT a_id, b_id, round(cos, 6) AS cosine
+        FROM verified
+        WHERE cos >= {NEARDUP_COS}
+        ORDER BY cosine DESC, a_id, b_id
+    """
+
+
 _IVF_TWIN_CELLS = 32  # fixed quantizer size for the oracle-checkable twin
 _IVF_TWIN_REPLICAS = 2  # same multi-assignment R as the production IVF
 
@@ -437,6 +545,7 @@ _SQL_VECTORS = f"""
 SIMILARITY_ORACLES: dict[str, str] = {
     "q63_lsh_bucket_histogram": _oracle_bucket_histogram(),
     "q65_ivf_cell_histogram": _oracle_ivf_cell_histogram(),
+    "q66_embedding_neardup_sql": _oracle_embedding_neardup(),
     "q44_top20_similar_pairs": f"""
         WITH {_SQL_VECTORS}
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -516,9 +625,6 @@ def q49_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
-
-
-NEARDUP_COS = 0.40  # τ tuned to the synthetic embedding distribution
 
 
 def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,6 +175,13 @@ def test_q55_neardup_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q66_neardup_sql_twin_is_not_cartesian(spark):
+    """The fully-oracle-backed near-dup twin must keep q55's plan shape:
+    bucket-join candidate generation, no cartesian product."""
+    plan = plan_of(REGISTRY["q66_embedding_neardup_sql"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
 def test_encode_sink_has_no_repack_exchange(spark):
     """The blob sink must ride the encode stage's own tasks: exactly ONE
     shuffle in the whole encode plan (the part_id repartition feeding the
