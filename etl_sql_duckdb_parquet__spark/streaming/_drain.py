@@ -8,8 +8,11 @@ sessions, so anything O(emitted rows) on the driver is a scale bug
 - diff the sink's data-file LISTING before/after the drain (names only),
 - read JUST the new files back through the ``_spark_metadata``-respecting
   reader and aggregate DISTRIBUTED (``groupBy().count()``),
-- pull per-drain state metrics (``numRowsDroppedByWatermark``) from the
-  streaming progress JSON — already driver-side, O(batches),
+- accumulate per-batch state metrics (``numInputRows``,
+  ``numRowsDroppedByWatermark``) through a ``StreamingQueryListener``
+  rather than ``q.recentProgress`` — the progress ring buffer keeps only
+  the last ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+  entries, so a >100-batch backfill drain would silently undercount,
 - return raw rows only under an explicit caller-provided cap, fetched as
   a ``limit(cap)`` (TakeOrdered — driver traffic bounded by the cap).
 """
@@ -17,9 +20,11 @@ sessions, so anything O(emitted rows) on the driver is a scale bug
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 
 def data_files(output_dir: str) -> set:
@@ -56,12 +61,73 @@ def new_files_frame(
     )
 
 
-def rows_dropped_by_watermark(query) -> int:
-    """Sum of ``numRowsDroppedByWatermark`` across the drain's batches —
-    the per-drain late-data audit count (progress JSON is already
-    driver-side and O(batches))."""
-    return sum(
-        op["numRowsDroppedByWatermark"]
-        for p in query.recentProgress
-        for op in p["stateOperators"]
-    )
+class DrainMetricsListener(StreamingQueryListener):
+    """Per-drain audit counters accumulated across ALL micro-batches.
+
+    Attach BEFORE ``start()`` (the first started query while attached is
+    the one tracked — drain runners run exactly one query at a time) and
+    call :meth:`wait_terminated` after ``awaitTermination()``: listener
+    events are dispatched asynchronously on the streaming bus, so the
+    final progress/termination events can trail the query's stop by a
+    beat.  Unlike ``q.recentProgress`` (a ring buffer of the last ~100
+    progresses) these sums are exact for arbitrarily long drains.
+    """
+
+    def __init__(self) -> None:
+        self.input_rows = 0
+        self.dropped_by_watermark = 0
+        self._run_id: str | None = None
+        self._done = threading.Event()
+
+    def onQueryStarted(self, event) -> None:
+        if self._run_id is None:
+            self._run_id = str(event.runId)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        if self._run_id is not None and str(p.runId) != self._run_id:
+            return
+        self.input_rows += p["numInputRows"]
+        self.dropped_by_watermark += sum(
+            op["numRowsDroppedByWatermark"] for op in p["stateOperators"]
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        if self._run_id is None or str(event.runId) == self._run_id:
+            self._done.set()
+
+    def wait_terminated(self, timeout: float = 60.0) -> bool:
+        return self._done.wait(timeout)
+
+
+class drain_metrics:
+    """Context manager wiring a :class:`DrainMetricsListener` to a session.
+
+    Usage::
+
+        with drain_metrics(spark) as m:
+            q = df.writeStream...start()
+            q.awaitTermination()
+        # m.input_rows / m.dropped_by_watermark are now exact
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self.listener = DrainMetricsListener()
+
+    def __enter__(self) -> DrainMetricsListener:
+        self._spark.streams.addListener(self.listener)
+        return self.listener
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None and not self.listener.wait_terminated():
+                raise RuntimeError(
+                    "drain metrics listener saw no termination event "
+                    "within 60 s — audit counts would be incomplete"
+                )
+        finally:
+            self._spark.streams.removeListener(self.listener)

@@ -77,7 +77,7 @@ def run_dedup_available_now(
     distributed count over just this drain's sink files — never O(data)
     driver traffic.
     """
-    from ._drain import data_files, new_files_frame, rows_dropped_by_watermark
+    from ._drain import data_files, drain_metrics, new_files_frame
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -92,17 +92,18 @@ def run_dedup_available_now(
             reader = reader.option("pathGlobFilter", path_glob_filter)
         src = reader.parquet(input_dir)
         out = dedup_stream(src, key_cols, ts_col, watermark)
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        n_input = sum(p["numInputRows"] for p in q.recentProgress)
-        dropped = rows_dropped_by_watermark(q)
+        with drain_metrics(spark) as metrics:
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        n_input = metrics.input_rows
+        dropped = metrics.dropped_by_watermark
         new_files = data_files(output_dir) - before_files
         n_emitted = (
             new_files_frame(spark, output_dir, new_files).count()

@@ -206,7 +206,7 @@ def run_sessionize_available_now(
     the committed-files reader, so a recovery drain reports exactly its
     own replayed emissions.
     """
-    from ._drain import data_files, new_files_frame, rows_dropped_by_watermark
+    from ._drain import data_files, drain_metrics, new_files_frame
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -223,19 +223,20 @@ def run_sessionize_available_now(
             reader = reader.option("pathGlobFilter", path_glob_filter)
         src = reader.parquet(input_dir)
         out = sessionize_events(src, gap_seconds, watermark)
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with drain_metrics(spark) as metrics:
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         report = {
             "emitted_sessions": 0,
             "emitted_by": {"gap": 0, "timeout": 0},
-            "rows_dropped_by_watermark": rows_dropped_by_watermark(q),
+            "rows_dropped_by_watermark": metrics.dropped_by_watermark,
             "rows": [] if report_rows is not None else None,
         }
         new_files = data_files(output_dir) - before_files

@@ -190,19 +190,32 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
             .agg(F.count("*").alias("n_events"))
             .select(F.hour(F.col("win.start")).alias("h"), "n_events")
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("wm_late_test")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        from etl_sql_duckdb_parquet__spark.streaming._drain import (
+            drain_metrics,
         )
-        q.awaitTermination()
+
+        with drain_metrics(spark) as metrics:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("wm_late_test")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.table("wm_late_test").collect()
         dropped = sum(
             op["numRowsDroppedByWatermark"]
             for p in q.recentProgress
             for op in p["stateOperators"]
+        )
+        # the listener-accumulated audit counters must agree with the
+        # (here un-truncated, 4-batch) progress ring buffer — proving the
+        # per-batch accumulation that stays exact past the ring buffer's
+        # ~100-entry cap on a real backfill drain
+        assert metrics.dropped_by_watermark == dropped
+        assert metrics.input_rows == sum(
+            p["numInputRows"] for p in q.recentProgress
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
