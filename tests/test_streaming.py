@@ -284,6 +284,68 @@ def test_q64_twice_in_one_session_is_identical(spark):
     assert len(views) == 1
 
 
+def test_drain_metrics_exact_past_progress_ring_buffer(spark, tmp_path):
+    """The audit counters must stay exact when a drain outruns
+    ``q.recentProgress`` (a ring buffer of the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries, default
+    ~100): shrink the buffer to 3, drain 8 one-file micro-batches, and
+    assert the listener counted all 8 while the ring buffer lost five."""
+    import shutil as _sh
+    from datetime import datetime, timedelta
+
+    from etl_sql_duckdb_parquet__spark.streaming._drain import drain_metrics
+
+    sch = "ts timestamp_ntz, event_type string, value double"
+    landing = tmp_path / "rb_landing"
+    landing.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0)
+    for i in range(8):
+        stage = str(tmp_path / f"rb_stage{i}")
+        spark.createDataFrame(
+            [(t0 + timedelta(minutes=i), "click", 1.0)], sch
+        ).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = landing / f"f{i}.parquet"
+        _sh.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    rb_before = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "3")
+    try:
+        src = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        with drain_metrics(spark) as metrics:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("rb_test")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        ring_sum = sum(p["numInputRows"] for p in q.recentProgress)
+        assert len(q.recentProgress) <= 3  # the buffer really truncated
+        assert ring_sum < 8  # ...and its sum silently undercounts
+        assert metrics.input_rows == 8  # the listener counted every batch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", rb_before
+        )
+        spark.catalog.dropTempView("rb_test")
+
+
 def test_compact_and_vacuum_streamed_store(spark, tmp_path):
     """Two streamed waves → compact merges them into one snapshot and
     vacuum reclaims the superseded per-epoch blobs; decode(all) ==
