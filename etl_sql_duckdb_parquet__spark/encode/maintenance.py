@@ -19,7 +19,12 @@ are guarded: every encode run appends a ``status='running'`` manifest
 marker before moving blob bytes, and vacuum refuses (without ``force``,
 which also clears stale markers) while ANY uncommitted run exists — an
 in-flight encode can't have its blobs reclaimed out from under it, and
-marker age proves nothing (markers carry run-START times).
+marker age proves nothing (markers carry run-START times).  The marker
+check is re-run immediately before the manifest swap, shrinking the
+check-then-act window to milliseconds; a writer starting inside THAT
+window is a quiesce violation (the same residual contract as Iceberg's
+``expire_snapshots``), not something a lockless filesystem store can
+exclude.
 """
 
 from __future__ import annotations
@@ -248,6 +253,32 @@ def vacuum_store(
     keep_runs = {
         r["run_id"] for r in ok_rows if r["snapshot_id"] == snap
     }
+
+    # Re-check for writers that appended their running marker AFTER the
+    # first manifest read (the guard above is check-then-act over a
+    # multi-second window — a fresh encode starting mid-vacuum would have
+    # its marker silently dropped by the rewrite and its blob dir
+    # reclaimed by the deletion loop).  Nothing destructive has happened
+    # yet, so refusing here is free; the remaining race window is the
+    # milliseconds between this read and the rename below, which — like
+    # Iceberg's expire_snapshots — is a documented quiesce requirement,
+    # not a guarantee this filesystem store can provide.
+    late = (
+        read_manifest(spark, out_dir)
+        .filter(
+            (F.col("status") == "running")
+            & ~F.col("run_id").isin(sorted(committed))
+        )
+        .select("run_id")
+        .collect()
+    )
+    late_ids = sorted({r["run_id"] for r in late} - set(inflight))
+    if late_ids and not force:
+        raise RuntimeError(
+            f"encode run(s) {late_ids} started while this vacuum was "
+            f"running under {out_dir} — aborting before the manifest "
+            "swap; re-run vacuum after they commit"
+        )
 
     # rewrite the manifest to the surviving snapshot's rows (write-new,
     # swap, drop-old; manifest is metadata-sized)

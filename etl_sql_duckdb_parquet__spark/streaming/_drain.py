@@ -64,12 +64,17 @@ def new_files_frame(
 class DrainMetricsListener(StreamingQueryListener):
     """Per-drain audit counters accumulated across ALL micro-batches.
 
-    Attach BEFORE ``start()`` (the first started query while attached is
-    the one tracked — drain runners run exactly one query at a time) and
-    call :meth:`wait_terminated` after ``awaitTermination()``: listener
-    events are dispatched asynchronously on the streaming bus, so the
-    final progress/termination events can trail the query's stop by a
-    beat.  Unlike ``q.recentProgress`` (a ring buffer of the last ~100
+    Attach BEFORE ``start()``, then :meth:`bind` the started query's
+    ``runId`` IMMEDIATELY after ``start()`` returns, and call
+    :meth:`wait_terminated` after ``awaitTermination()``: listener events
+    are dispatched asynchronously on the streaming bus, so a PRIOR
+    query's trailing progress/termination events can arrive while this
+    listener is attached — every event is therefore ignored until bound,
+    and filtered by runId afterwards (an unbound listener absorbing a
+    stale event would corrupt the very audit counts this class exists to
+    make exact).  Binding is synchronous and happens before the first
+    micro-batch can possibly complete, so no own-query event is missed.
+    Unlike ``q.recentProgress`` (a ring buffer of the last ~100
     progresses) these sums are exact for arbitrarily long drains.
     """
 
@@ -79,13 +84,15 @@ class DrainMetricsListener(StreamingQueryListener):
         self._run_id: str | None = None
         self._done = threading.Event()
 
+    def bind(self, run_id) -> None:
+        self._run_id = str(run_id)
+
     def onQueryStarted(self, event) -> None:
-        if self._run_id is None:
-            self._run_id = str(event.runId)
+        pass
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        if self._run_id is not None and str(p.runId) != self._run_id:
+        if self._run_id is None or str(p.runId) != self._run_id:
             return
         self.input_rows += p["numInputRows"]
         self.dropped_by_watermark += sum(
@@ -96,7 +103,7 @@ class DrainMetricsListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:
-        if self._run_id is None or str(event.runId) == self._run_id:
+        if self._run_id is not None and str(event.runId) == self._run_id:
             self._done.set()
 
     def wait_terminated(self, timeout: float = 60.0) -> bool:
@@ -110,6 +117,7 @@ class drain_metrics:
 
         with drain_metrics(spark) as m:
             q = df.writeStream...start()
+            m.bind(q.runId)  # REQUIRED: events are ignored until bound
             q.awaitTermination()
         # m.input_rows / m.dropped_by_watermark are now exact
     """
@@ -127,7 +135,50 @@ class drain_metrics:
             if exc_type is None and not self.listener.wait_terminated():
                 raise RuntimeError(
                     "drain metrics listener saw no termination event "
-                    "within 60 s — audit counts would be incomplete"
+                    "within 60 s — audit counts would be incomplete "
+                    "(was bind(q.runId) called after start()?)"
                 )
         finally:
             self._spark.streams.removeListener(self.listener)
+
+
+def run_parquet_drain(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    transform,
+    path_glob_filter: str | None = None,
+) -> tuple[DrainMetricsListener, set]:
+    """Shared drain-runner core: probe → stream → transform → parquet sink.
+
+    Probes ``input_dir``'s schema with the SAME glob scope as the stream
+    (else a mixed-schema landing dir resolves to the wrong table), runs
+    ``transform(stream_df)`` through an availableNow parquet sink under a
+    bound :class:`drain_metrics`, and returns ``(metrics, new_files)``
+    where ``new_files`` is the set of sink file basenames this drain
+    appended (listing diff — metadata only).  Callers own the session-
+    timezone pinning (they also read results back under it) and the
+    report shape.
+    """
+    before_files = data_files(output_dir)
+    probe = spark.read
+    if path_glob_filter:
+        probe = probe.option("pathGlobFilter", path_glob_filter)
+    sch = probe.parquet(input_dir).schema
+    reader = spark.readStream.schema(sch)
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    out = transform(reader.parquet(input_dir))
+    with drain_metrics(spark) as metrics:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        metrics.bind(q.runId)
+        q.awaitTermination()
+    return metrics, data_files(output_dir) - before_files

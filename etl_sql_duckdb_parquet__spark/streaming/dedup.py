@@ -77,34 +77,21 @@ def run_dedup_available_now(
     distributed count over just this drain's sink files — never O(data)
     driver traffic.
     """
-    from ._drain import data_files, drain_metrics, new_files_frame
+    from ._drain import new_files_frame, run_parquet_drain
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        before_files = data_files(output_dir)
-        probe = spark.read
-        if path_glob_filter:
-            probe = probe.option("pathGlobFilter", path_glob_filter)
-        sch = probe.parquet(input_dir).schema
-        reader = spark.readStream.schema(sch)
-        if path_glob_filter:
-            reader = reader.option("pathGlobFilter", path_glob_filter)
-        src = reader.parquet(input_dir)
-        out = dedup_stream(src, key_cols, ts_col, watermark)
-        with drain_metrics(spark) as metrics:
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", output_dir)
-                .option("checkpointLocation", checkpoint_dir)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        metrics, new_files = run_parquet_drain(
+            spark,
+            input_dir,
+            checkpoint_dir,
+            output_dir,
+            lambda src: dedup_stream(src, key_cols, ts_col, watermark),
+            path_glob_filter=path_glob_filter,
+        )
         n_input = metrics.input_rows
         dropped = metrics.dropped_by_watermark
-        new_files = data_files(output_dir) - before_files
         n_emitted = (
             new_files_frame(spark, output_dir, new_files).count()
             if new_files

@@ -206,40 +206,25 @@ def run_sessionize_available_now(
     the committed-files reader, so a recovery drain reports exactly its
     own replayed emissions.
     """
-    from ._drain import data_files, drain_metrics, new_files_frame
+    from ._drain import new_files_frame, run_parquet_drain
 
     tz_before = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        before_files = data_files(output_dir)
-        probe = spark.read
-        if path_glob_filter:
-            # scope the schema probe the same way as the stream, else a
-            # mixed-schema landing dir resolves to the wrong table
-            probe = probe.option("pathGlobFilter", path_glob_filter)
-        sch = probe.parquet(input_dir).schema
-        reader = spark.readStream.schema(sch)
-        if path_glob_filter:
-            reader = reader.option("pathGlobFilter", path_glob_filter)
-        src = reader.parquet(input_dir)
-        out = sessionize_events(src, gap_seconds, watermark)
-        with drain_metrics(spark) as metrics:
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", output_dir)
-                .option("checkpointLocation", checkpoint_dir)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        metrics, new_files = run_parquet_drain(
+            spark,
+            input_dir,
+            checkpoint_dir,
+            output_dir,
+            lambda src: sessionize_events(src, gap_seconds, watermark),
+            path_glob_filter=path_glob_filter,
+        )
         report = {
             "emitted_sessions": 0,
             "emitted_by": {"gap": 0, "timeout": 0},
             "rows_dropped_by_watermark": metrics.dropped_by_watermark,
             "rows": [] if report_rows is not None else None,
         }
-        new_files = data_files(output_dir) - before_files
         if not new_files:
             return report
         emitted = new_files_frame(spark, output_dir, new_files)

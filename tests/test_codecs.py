@@ -240,7 +240,10 @@ def test_fsst_selector_pays_for_its_throughput_cost():
     text = b"".join(
         f"https://example.com/page/{i}?ref=abc".encode() for i in range(500)
     )
-    assert S._zstd_sampled_ratio(text) < 0.5  # zstd really does crush it
+    z_ratio = S._zstd_sampled_ratio(text)
+    if z_ratio is None:  # pyarrow without zstd: the plain-gate fallback
+        pytest.skip("pyarrow lacks the zstd codec on this host")
+    assert z_ratio < 0.5  # zstd really does crush it
     blob = S.encode_bytes_best(text)
     assert blob[0] == S.CODEC_PLAINBYTES
     got, _ = S.decode_bytes(blob)

@@ -202,6 +202,7 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
+            metrics.bind(q.runId)
             q.awaitTermination()
         rows = spark.table("wm_late_test").collect()
         dropped = sum(
@@ -333,6 +334,7 @@ def test_drain_metrics_exact_past_progress_ring_buffer(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
+            metrics.bind(q.runId)
             q.awaitTermination()
         ring_sum = sum(p["numInputRows"] for p in q.recentProgress)
         assert len(q.recentProgress) <= 3  # the buffer really truncated
@@ -524,6 +526,49 @@ def test_vacuum_refuses_inflight_run_then_force(spark, tmp_path):
     # the forced vacuum's manifest rewrite dropped the uncommitted
     # marker, so the next vacuum runs clean (no force needed)
     vacuum_store(spark, out)
+
+
+def test_vacuum_aborts_on_marker_appended_mid_vacuum(spark, tmp_path, monkeypatch):
+    """A writer that lands its running marker AFTER vacuum's guard read
+    but BEFORE the manifest swap must abort the vacuum (pre-swap
+    re-check) — nothing destroyed, store still decodes, and force clears
+    the marker afterwards."""
+    import pytest
+
+    from etl_sql_duckdb_parquet__spark.encode import maintenance
+    from etl_sql_duckdb_parquet__spark.encode.encode_job import (
+        encode_token_table,
+    )
+    from etl_sql_duckdb_parquet__spark.encode.manifest import (
+        append_running_marker,
+    )
+
+    out = str(tmp_path / "mv_race")
+    df = _wave(spark, 100, seed=51, prefix="rc_")
+    stats = encode_token_table(spark, df, out, target_tokens=20_000)
+
+    real = maintenance.read_manifest
+    calls = {"n": 0}
+
+    def hooked(sp, od):
+        calls["n"] += 1
+        if calls["n"] == 2:  # between the guard read and the swap
+            append_running_marker(
+                sp, od, "run_late_sim", stats["snapshot_id"]
+            )
+        return real(sp, od)
+
+    monkeypatch.setattr(maintenance, "read_manifest", hooked)
+    with pytest.raises(RuntimeError, match="run_late_sim"):
+        maintenance.vacuum_store(spark, out)
+    monkeypatch.undo()
+    # nothing was swapped or deleted: the store still decodes exactly
+    assert verify_roundtrip(df, decode_token_table(spark, out))["ok"]
+    # the simulated crashed writer's marker now blocks clean vacuums
+    with pytest.raises(RuntimeError, match="run_late_sim"):
+        maintenance.vacuum_store(spark, out)
+    maintenance.vacuum_store(spark, out, force=True)
+    assert verify_roundtrip(df, decode_token_table(spark, out))["ok"]
 
 
 def test_streaming_dedup_across_drains(spark, tmp_path):
